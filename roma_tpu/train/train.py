@@ -1,0 +1,121 @@
+"""Training step + state for the matcher models.
+
+Replaces the reference's train loop machinery
+(/root/reference/romatch/train/train.py:7-104): no GradScaler (bf16 on TPU
+needs none), gradient-norm clipping to 0.01 (train_roma_outdoor.py:234 uses
+the same clip), AdamW with per-group LRs, MultiStep LR decay at 90% of the
+schedule — all as one jitted, mesh-sharded step. The step counter counts
+samples (GLOBAL_STEP semantics), matching the reference's LR milestones.
+
+Data parallelism: batches arrive sharded over the mesh `data` axis, params
+replicated; jit + sharding constraints make XLA insert the gradient
+all-reduce (the DDP-equivalent) over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from roma_tpu.config import TrainConfig
+from roma_tpu.losses.robust_loss import RobustLossConfig, tiny_robust_loss
+from roma_tpu.models.tiny_roma import TinyRoma
+from roma_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array                       # counts samples, like the reference
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
+    """clip-by-global-norm 0.01 -> AdamW with sample-count LR schedule."""
+    milestone = int(cfg.steps * cfg.milestone_frac)
+
+    def schedule(count):
+        # `count` is optimizer updates; the caller scales lr by batch size so
+        # LR-per-sample matches the reference's STEP_SIZE-scaled group LRs
+        return lr * jnp.where(count * cfg.batch_size >= milestone, cfg.lr_decay, 1.0)
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=0.01),
+    )
+
+
+def make_tiny_train_state(
+    rng: jax.Array,
+    cfg: TrainConfig = TrainConfig(),
+    hw: tuple[int, int] = (448, 448),
+    model: TinyRoma | None = None,
+) -> TrainState:
+    model = model if model is not None else TinyRoma()
+    x = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(rng, x, x, train=False)
+    tx = make_optimizer(cfg, cfg.lr_decoder * cfg.batch_size)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(
+    loss_fn: Callable = tiny_robust_loss,
+    loss_cfg: RobustLossConfig | None = None,
+    mesh=None,
+):
+    """Build the jitted data-parallel train step.
+
+    batch: {im_A, im_B (B,H,W,3), im_A_depth, im_B_depth (B,H,W),
+            T_1to2 (B,4,4), K1, K2 (B,3,3)} — the reference's dataset item
+    contract (megadepth.py:166-179), channels-last.
+    """
+    kwargs = {} if loss_cfg is None else {"cfg": loss_cfg}
+
+    def step(state: TrainState, batch: Mapping[str, jax.Array]):
+        def loss_of(params):
+            corresps, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["im_A"], batch["im_B"], train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = loss_fn(corresps, batch, **kwargs)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, total_loss=loss, grad_norm=optax.global_norm(grads))
+        bsz = batch["im_A"].shape[0]
+        new_state = state.replace(
+            step=state.step + bsz,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(rep, data),
+        out_shardings=(rep, rep),
+    )

@@ -1,0 +1,88 @@
+"""Train step: single-device + 8-way data-parallel on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.config import TrainConfig
+from roma_tpu.losses.robust_loss import RobustLossConfig, tiny_robust_loss
+from roma_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from roma_tpu.train.train import make_tiny_train_state, make_train_step
+
+
+def make_batch(rng, b=2, h=64, w=64):
+    K = np.array([[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.05
+    return {
+        "im_A": rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32),
+        "im_B": rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32),
+        "im_A_depth": np.full((b, h, w), 2.0, np.float32),
+        "im_B_depth": np.full((b, h, w), 2.0, np.float32),
+        "T_1to2": np.tile(T, (b, 1, 1)),
+        "K1": np.tile(K, (b, 1, 1)),
+        "K2": np.tile(K, (b, 1, 1)),
+    }
+
+
+def test_tiny_loss_finite_and_metrics(rng):
+    from roma_tpu.models.tiny_roma import TinyRoma
+
+    model = TinyRoma()
+    batch = make_batch(rng)
+    im = jnp.asarray(batch["im_A"])
+    variables = model.init(jax.random.PRNGKey(0), im, im, train=False)
+    corresps, _ = model.apply(
+        variables, im, jnp.asarray(batch["im_B"]), train=True, mutable=["batch_stats"]
+    )
+    loss, metrics = tiny_robust_loss(corresps, batch)
+    assert np.isfinite(float(loss))
+    assert "regression_loss_8" in metrics and "corr_volume_loss_8" in metrics
+
+
+def test_train_step_updates_params(rng):
+    cfg = TrainConfig(batch_size=2)
+    state = make_tiny_train_state(jax.random.PRNGKey(0), cfg, hw=(64, 64))
+    step = make_train_step()
+    batch = make_batch(rng)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, metrics = step(state, batch)
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["total_loss"]))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_train_step_8way_data_parallel_matches_single(rng):
+    """The sharded step over an 8-device mesh must produce the same update as
+    the unsharded step on the same global batch (psum == big-batch grad)."""
+    cfg = TrainConfig(batch_size=8)
+    batch = make_batch(rng, b=8)
+
+    state1 = make_tiny_train_state(jax.random.PRNGKey(0), cfg, hw=(64, 64))
+    step1 = make_train_step()
+    state1, m1 = step1(state1, batch)
+
+    mesh = make_mesh(n_data=8)
+    state8 = make_tiny_train_state(jax.random.PRNGKey(0), cfg, hw=(64, 64))
+    state8 = replicate(state8, mesh)
+    step8 = make_train_step(mesh=mesh)
+    state8, m8 = step8(state8, shard_batch(batch, mesh))
+
+    # GSPMD keeps global semantics; the residual gap is reduction-order fp32
+    # noise amplified through train-mode BatchNorm + the corr softmax
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m8["total_loss"]), rtol=5e-3
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
