@@ -1,11 +1,14 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Current metric: Tiny RoMa dense matching throughput (pairs/s) at 640x320 on
-one chip. Baseline: the only speed numbers in the reference repo are the
-fork's NPU latencies (NOTE.md:147-149 — 73.9 ms avg for the full tiny graph
-at 640x320 => 13.53 pairs/s); vs_baseline is measured against that.
-This will switch to the full-RoMa 560->864 pairs/s headline once the full
-model lands (BASELINE.json primary metric).
+Metric: full RoMa dense matching throughput (pairs/s) at the reference's
+shipped inference config — coarse 560^2 + upsampled 864^2 second pass,
+symmetric (BASELINE.json primary metric). The reference repo publishes no
+GPU throughput (BASELINE.md "gaps"); vs_baseline uses 1.0 pairs/s, the
+rough published single-GPU speed of full RoMa at this config (~1 s/pair on
+an A100-class card), documented here until a measured baseline exists.
+
+Timing forces a host readback per batch: on the remote-TPU runtime used in
+this environment, block_until_ready returns before execution completes.
 """
 
 import json
@@ -15,6 +18,38 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+BASELINE_FULL_ROMA_PAIRS_PER_S = 1.0
+BASELINE_TINY_NPU_PAIRS_PER_S = 1000.0 / 73.9  # NOTE.md:147-149, 640x320
+
+
+def bench_full_roma(batch: int = 2, iters: int = 4) -> dict:
+    from roma_tpu.models.zoo import roma_outdoor
+
+    matcher = roma_outdoor()
+    rng = np.random.default_rng(0)
+    h, w = matcher.cfg.coarse_resolution
+    ims = [
+        jnp.asarray(rng.uniform(0, 1, (batch, h, w, 3)).astype(np.float32))
+        for _ in range(iters + 1)
+    ]
+    # warmup / compile both passes
+    warp, cert = matcher.match(ims[0], ims[1], batched=True)
+    _ = float(cert.sum())
+    best = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            warp, cert = matcher.match(ims[i], ims[i + 1], batched=True)
+        _ = float(cert.sum())
+        best = min(best, time.perf_counter() - t0)
+    pairs_per_s = batch * iters / best
+    return {
+        "metric": "full_roma_pairs_per_s_560_864",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_FULL_ROMA_PAIRS_PER_S, 2),
+    }
 
 
 def bench_tiny(batch: int = 8, h: int = 320, w: int = 640, iters: int = 10) -> dict:
@@ -32,9 +67,6 @@ def bench_tiny(batch: int = 8, h: int = 320, w: int = 640, iters: int = 10) -> d
         jnp.asarray(rng.uniform(0, 1, (batch, h, w, 3)).astype(np.float32))
         for _ in range(iters + 1)
     ]
-
-    # warmup / compile; a tiny host readback forces completion — on the
-    # remote-TPU runtime used here, block_until_ready returns early
     _ = float(match(matcher.params, ims[0], ims[1])[0].sum())
     best = float("inf")
     for _trial in range(3):
@@ -44,14 +76,13 @@ def bench_tiny(batch: int = 8, h: int = 320, w: int = 640, iters: int = 10) -> d
         _ = float(out[0].sum())
         best = min(best, time.perf_counter() - t0)
     pairs_per_s = batch * iters / best
-    baseline_pairs_per_s = 1000.0 / 73.9  # NOTE.md:147-149, NPU 640x320
     return {
         "metric": "tiny_roma_pairs_per_s_640x320",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 2),
+        "vs_baseline": round(pairs_per_s / BASELINE_TINY_NPU_PAIRS_PER_S, 2),
     }
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench_tiny()))
+    print(json.dumps(bench_full_roma()))

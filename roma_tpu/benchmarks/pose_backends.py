@@ -1,0 +1,52 @@
+"""Two-view pose estimation backends for the benchmark harnesses.
+
+"cv2": OpenCV E-matrix + recoverPose — byte-compatible with the reference
+protocol (utils/utils.py:31-52), kept as the default so AUC numbers are
+directly comparable to published ones.
+"native": this framework's own vectorized 8-pt MSAC+LO RANSAC
+(roma_tpu.estimation) — no OpenCV dependency, same call contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from roma_tpu.estimation.essential import estimate_pose as _estimate_pose_native
+
+
+def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
+    """Reference-protocol pose estimation via OpenCV (utils/utils.py:31-52):
+    K-normalize, findEssentialMat at norm_thresh, recoverPose over all E
+    candidates, keep the candidate with most inliers."""
+    if len(kpts0) < 5:
+        return None
+    q0 = (kpts0 - K0[None, :2, 2]) @ np.linalg.inv(K0[:2, :2]).T
+    q1 = (kpts1 - K1[None, :2, 2]) @ np.linalg.inv(K1[:2, :2]).T
+    E, mask = cv2.findEssentialMat(q0, q1, np.eye(3), threshold=norm_thresh, prob=conf)
+    if E is None:
+        return None
+    best = None
+    best_inliers = 0
+    for Ei in np.split(E, len(E) / 3):
+        n, R, t, _ = cv2.recoverPose(Ei, q0, q1, np.eye(3), 1e9, mask=mask)
+        if n > best_inliers:
+            best_inliers = n
+            best = (R, t, mask.ravel() > 0)
+    return best
+
+
+def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
+    return _estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh)
+
+
+def get_pose_backend(name: str = "auto"):
+    if name == "cv2" or (name == "auto" and cv2 is not None):
+        if cv2 is None:
+            raise RuntimeError("cv2 backend requested but OpenCV is unavailable")
+        return estimate_pose_cv2
+    return estimate_pose_native

@@ -1,0 +1,110 @@
+"""ScanNet-1500 relative-pose benchmark.
+
+Protocol per the reference (/root/reference/romatch/benchmarks/
+scannet_benchmark.py): pairs from test.npz, intrinsics from
+intrinsic_color.txt, K rescaled to min-dim 480, the -0.5 px pixel-center
+offset convention (:77-97), 5 shuffled RANSAC runs, AUC@{5,10,20}.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+from roma_tpu.benchmarks.megadepth_pose import summarize_pose_errors
+from roma_tpu.benchmarks.pose_backends import get_pose_backend
+from roma_tpu.utils.geometry import compute_pose_error
+
+
+class ScanNetBenchmark:
+    def __init__(
+        self,
+        data_root: str = "data/scannet",
+        pose_backend: str = "auto",
+        sample_num: int = 5000,
+        num_ransac_runs: int = 5,
+        shard: tuple[int, int] = (0, 1),
+        seed: int = 0,
+    ) -> None:
+        self.data_root = data_root
+        self.estimate_pose = get_pose_backend(pose_backend)
+        self.sample_num = sample_num
+        self.num_ransac_runs = num_ransac_runs
+        self.shard = shard
+        self.seed = seed
+
+    def benchmark(self, matcher, model_name: str | None = None) -> dict:
+        errors = self.collect_errors(matcher)
+        return summarize_pose_errors(np.asarray(errors))
+
+    def collect_errors(self, matcher) -> list[float]:
+        tmp = np.load(osp.join(self.data_root, "test.npz"))
+        pairs, rel_pose = tmp["name"], tmp["rel_pose"]
+        tot_e_pose: list[float] = []
+        key = jax.random.PRNGKey(self.seed)
+        order = np.random.default_rng(self.seed).permutation(len(pairs))
+        for n, pairind in enumerate(order):
+            if n % self.shard[1] != self.shard[0]:
+                continue
+            scene = pairs[pairind]
+            scene_name = f"scene0{scene[0]}_00"
+            scan_dir = osp.join(self.data_root, "scans_test", scene_name)
+            im_a = Image.open(osp.join(scan_dir, "color", f"{scene[2]}.jpg"))
+            im_b = Image.open(osp.join(scan_dir, "color", f"{scene[3]}.jpg"))
+            T_gt = rel_pose[pairind].reshape(3, 4)
+            R, t = T_gt[:3, :3], T_gt[:3, 3]
+            K = np.stack(
+                [
+                    np.array([float(i) for i in r.split()])
+                    for r in open(osp.join(scan_dir, "intrinsic", "intrinsic_color.txt"))
+                    .read()
+                    .split("\n")
+                    if r
+                ]
+            )
+            w1, h1 = im_a.size
+            w2, h2 = im_b.size
+            a = np.asarray(im_a.convert("RGB"), np.float32) / 255.0
+            b = np.asarray(im_b.convert("RGB"), np.float32) / 255.0
+            warp, certainty = matcher.match(a, b)
+            key, sub = jax.random.split(key)
+            sparse, _ = matcher.sample(warp, certainty, self.sample_num, key=sub)
+            sparse = np.asarray(sparse)
+
+            s1, s2 = 480 / min(w1, h1), 480 / min(w2, h2)
+            w1s, h1s, w2s, h2s = s1 * w1, s1 * h1, s2 * w2, s2 * h2
+            K1 = K.copy() * s1
+            K2 = K.copy() * s2
+
+            offset = 0.5  # ScanNet GT uses [0, n-1] pixel centers
+            kpts1 = np.stack(
+                (w1s * (sparse[:, 0] + 1) / 2 - offset,
+                 h1s * (sparse[:, 1] + 1) / 2 - offset), axis=-1,
+            )
+            kpts2 = np.stack(
+                (w2s * (sparse[:, 2] + 1) / 2 - offset,
+                 h2s * (sparse[:, 3] + 1) / 2 - offset), axis=-1,
+            )
+            norm_threshold = 0.5 / (
+                np.mean(np.abs(K1[:2, :2])) + np.mean(np.abs(K2[:2, :2]))
+            )
+            for _rep in range(self.num_ransac_runs):
+                shuffling = np.random.permutation(len(kpts1))
+                kpts1, kpts2 = kpts1[shuffling], kpts2[shuffling]
+                try:
+                    ret = self.estimate_pose(kpts1, kpts2, K1, K2, norm_threshold)
+                    if ret is None:
+                        raise ValueError("pose estimation failed")
+                    R_est, t_est, _ = ret
+                    T_est = np.concatenate((R_est, t_est.reshape(3, 1)), axis=-1)
+                    e_t, e_R = compute_pose_error(T_est, R, t)
+                    e_pose = max(e_t, e_R)
+                except Exception as e:  # noqa: BLE001
+                    print(repr(e))
+                    e_pose = 90.0
+                tot_e_pose.append(float(e_pose))
+        return tot_e_pose

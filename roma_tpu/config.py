@@ -77,6 +77,9 @@ class RomaConfig:
     gp: GPConfig = GPConfig()
     gp_dim: int = 512
     feat_dim: int = 512
+    dinov2_depth: int = 24        # ViT-L; tests shrink this for speed
+    dinov2_dim: int = 1024
+    dinov2_heads: int = 16
     decoder_dim: int = 1024       # gp_dim + feat_dim
     cls_res: int = 64             # 64x64 anchor classification grid
     num_decoder_blocks: int = 5

@@ -1,0 +1,334 @@
+"""Full RoMa: DINOv2-L coarse + VGG19 fine encoder, GP + transformer match
+decoder, coarse-to-fine ConvRefiners, and the two-pass matcher API.
+
+TPU-native re-design of the reference model stack
+(/root/reference/romatch/models/matcher.py:275-766 Decoder/RegressionMatcher,
+encoders.py:80-122 CNNandDinov2, assembled per model_zoo/roma_models.py:18-170).
+
+Key structural choices (vs the reference):
+- NHWC, channels-last flows; bf16 compute, fp32 params/BN/GP.
+- one flax module tree; DINOv2 runs under stop_gradient (frozen, as
+  encoders.py:104,115-118 hides it from DDP/autograd).
+- `old_stuff` recurrent ViT state is dropped: with a single coarse scale it
+  is never consumed (matcher.py:341-379 threads zeros through one call).
+- the decoder's scale list is a static argument, so the 560^2 first pass and
+  the 864^2 upsample pass (VGG-only pyramid, scales 8..1; matcher.py:664-682)
+  jit separately with fixed shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roma_tpu.config import RomaConfig
+from roma_tpu.models.dinov2 import DinoViT
+from roma_tpu.models.gp import GP
+from roma_tpu.models.refiner import ConvRefiner
+from roma_tpu.models.transformer import TransformerDecoder
+from roma_tpu.models.vgg import VGG19
+from roma_tpu.ops.corr import coord_grid
+from roma_tpu.ops.resize import interpolate_bilinear, resize_bicubic
+from roma_tpu.utils.geometry import cls_to_flow_refine, normalized_to_pixel
+from roma_tpu.utils.sampling import sample_matches
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class CNNandDinov2(nn.Module):
+    """Feature pyramid: VGG19 {1,2,4,8} + frozen DINOv2 patch tokens at 16.
+
+    `coarse=False` (the upsample pass) skips DINOv2 entirely
+    (encoders.py:114)."""
+
+    cfg: RomaConfig = RomaConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.cnn = VGG19(dtype=self.dtype)
+        self.dinov2 = DinoViT(
+            embed_dim=self.cfg.dinov2_dim,
+            depth=self.cfg.dinov2_depth,
+            num_heads=self.cfg.dinov2_heads,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x: jax.Array, coarse: bool = True, train: bool = False):
+        pyramid = dict(self.cnn(x, train=train))
+        if coarse:
+            feats16 = self.dinov2(x)
+            pyramid[16] = jax.lax.stop_gradient(feats16)
+        return pyramid
+
+
+class Decoder(nn.Module):
+    """Coarse-to-fine decode: GP + transformer at 1/16, refiners down to 1/1."""
+
+    cfg: RomaConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = jnp.dtype(c.dtype)
+        self.embedding_decoder = TransformerDecoder(
+            hidden_dim=c.decoder_dim,
+            out_dim=c.cls_res**2 + 1,
+            num_blocks=c.num_decoder_blocks,
+            num_heads=c.decoder_heads,
+            dtype=dt,
+        )
+        self.gp16 = GP(gp_dim=c.gp.gp_dim, T=c.gp.kernel_temperature,
+                       sigma_noise=c.gp.sigma_noise)
+        self.proj = {
+            s: nn.Sequential([
+                nn.Conv(out, (1, 1), use_bias=True, dtype=dt,
+                        param_dtype=jnp.float32),
+                nn.BatchNorm(momentum=0.9, dtype=jnp.float32),
+            ], name=f"proj_{s}")
+            for s, (_in, out) in c.proj_dims.items()
+        }
+        self.refiners = {
+            s: ConvRefiner(
+                hidden_dim=rc.hidden_dim,
+                displacement_emb_dim=rc.displacement_emb_dim,
+                local_corr_radius=rc.local_corr_radius,
+                hidden_blocks=rc.hidden_blocks,
+                kernel_size=rc.kernel_size,
+                disp_emb_gain=c.disp_emb_gain,
+                dtype=dt,
+                name=f"refiner_{s}",
+            )
+            for s, rc in c.refiners.items()
+        }
+
+    def _proj(self, s: str, x: jax.Array, train: bool) -> jax.Array:
+        conv, bn = self.proj[s].layers
+        x = conv(x)
+        return bn(x.astype(jnp.float32), use_running_average=not train).astype(x.dtype)
+
+    def __call__(
+        self,
+        f1: Mapping[int, jax.Array],
+        f2: Mapping[int, jax.Array],
+        upsample: bool = False,
+        flow: jax.Array | None = None,
+        certainty: jax.Array | None = None,
+        scale_factor: float = 1.0,
+        train: bool = False,
+    ) -> dict[int, dict[str, jax.Array]]:
+        c = self.cfg
+        scales = ["8", "4", "2", "1"] if upsample else ["16", "8", "4", "2", "1"]
+        sizes = {s: f1[s].shape[1:3] for s in f1}
+        coarsest = int(scales[0])
+        b = f1[coarsest].shape[0]
+        h_c, w_c = sizes[coarsest]
+
+        if not upsample:
+            flow = jnp.broadcast_to(coord_grid(h_c, w_c), (b, h_c, w_c, 2))
+            certainty = jnp.zeros((b, h_c, w_c, 1), jnp.float32)
+        else:
+            flow = interpolate_bilinear(flow, (h_c, w_c))
+            certainty = interpolate_bilinear(certainty, (h_c, w_c))
+
+        corresps: dict[int, dict[str, jax.Array]] = {}
+        for s in scales:
+            ins = int(s)
+            corresps[ins] = {}
+            f1_s = self._proj(s, f1[ins], train)
+            f2_s = self._proj(s, f2[ins], train)
+
+            if ins == 16:
+                gp_posterior = self.gp16(f1_s, f2_s)
+                gm_cls, certainty = self.embedding_decoder(gp_posterior, f1_s)
+                flow = cls_to_flow_refine(gm_cls)
+                if train:
+                    corresps[ins]["gm_cls"] = gm_cls
+                    corresps[ins]["gm_certainty"] = certainty
+
+            if s in self.refiners:
+                if train:
+                    corresps[ins]["flow_pre_delta"] = flow
+                delta_flow, delta_cert = self.refiners[s](
+                    f1_s, f2_s, flow, scale_factor=scale_factor, train=train
+                )
+                if train:
+                    corresps[ins]["delta_flow"] = delta_flow
+                h_s, w_s = sizes[ins]
+                # displacement in normalized units: ins * delta / (refine_init * n)
+                disp = ins * jnp.stack(
+                    [
+                        delta_flow[..., 0] / (c.refine_init * w_s),
+                        delta_flow[..., 1] / (c.refine_init * h_s),
+                    ],
+                    axis=-1,
+                )
+                flow = flow + disp
+                certainty = certainty + delta_cert
+
+            corresps[ins]["flow"] = flow
+            corresps[ins]["certainty"] = certainty
+            if s != "1":
+                nh, nw = sizes[ins // 2]
+                flow = interpolate_bilinear(flow, (nh, nw))
+                certainty = interpolate_bilinear(certainty, (nh, nw))
+                # detach between scales (Decoder(detach=True), matcher.py:418-420)
+                flow = jax.lax.stop_gradient(flow)
+                certainty = jax.lax.stop_gradient(certainty)
+        return corresps
+
+
+class RomaModel(nn.Module):
+    """Encoder + decoder; one forward = one decode pass at one resolution."""
+
+    cfg: RomaConfig = RomaConfig()
+
+    def setup(self):
+        self.encoder = CNNandDinov2(self.cfg, dtype=jnp.dtype(self.cfg.dtype))
+        self.decoder = Decoder(self.cfg)
+
+    def encode(self, x: jax.Array, coarse: bool = True, train: bool = False):
+        return self.encoder(x, coarse=coarse, train=train)
+
+    def __call__(
+        self,
+        im_a: jax.Array,
+        im_b: jax.Array,
+        symmetric: bool = True,
+        upsample: bool = False,
+        flow: jax.Array | None = None,
+        certainty: jax.Array | None = None,
+        scale_factor: float = 1.0,
+        train: bool = False,
+    ):
+        """Images are ImageNet-normalized (B, H, W, 3).
+
+        symmetric: decode A->B and B->A in one batched pass (matcher.py:516-528);
+        outputs have leading dim 2B (A->B stacked over B->A).
+        """
+        B = im_a.shape[0]
+        x = jnp.concatenate([im_a, im_b], axis=0)
+        # the upsample pass skips DINOv2 — VGG-only pyramid, scale 16 unused
+        pyramid = self.encode(x, coarse=not upsample, train=train)
+        if symmetric:
+            f_q = pyramid
+            f_s = {
+                k: jnp.concatenate([v[B:], v[:B]], axis=0) for k, v in pyramid.items()
+            }
+        else:
+            f_q = {k: v[:B] for k, v in pyramid.items()}
+            f_s = {k: v[B:] for k, v in pyramid.items()}
+        return self.decoder(
+            f_q, f_s, upsample=upsample, flow=flow, certainty=certainty,
+            scale_factor=scale_factor, train=train,
+        )
+
+
+@dataclass
+class RomaMatcher:
+    """User-facing full-RoMa matcher (reference RegressionMatcher.match,
+    matcher.py:593-730): two-pass coarse->upsample inference, certainty
+    attenuation, symmetric warp assembly, balanced sampling."""
+
+    params: Any
+    cfg: RomaConfig = field(default_factory=RomaConfig)
+
+    def __post_init__(self):
+        self.model = RomaModel(self.cfg)
+        self._fwd = jax.jit(
+            lambda p, a, b: self.model.apply(
+                p, a, b, symmetric=self.cfg.symmetric, train=False
+            )
+        )
+        self._fwd_up = jax.jit(
+            lambda p, a, b, flow, cert, sf: self.model.apply(
+                p, a, b, symmetric=self.cfg.symmetric, upsample=True,
+                flow=flow, certainty=cert, scale_factor=sf, train=False,
+            )
+        )
+
+    @staticmethod
+    def init(key: jax.Array, cfg: RomaConfig = RomaConfig()):
+        model = RomaModel(cfg)
+        h, w = 224, 224  # shapes don't matter for param shapes; init small
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        params = model.init(key, x, x, symmetric=False, train=False)
+        return RomaMatcher(params, cfg)
+
+    @staticmethod
+    def normalize(im: jax.Array) -> jax.Array:
+        return (im - IMAGENET_MEAN) / IMAGENET_STD
+
+    def match(self, im_a: jax.Array, im_b: jax.Array, batched: bool = False):
+        """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1].
+
+        Returns (warp, certainty): symmetric warp (B, hs, 2*ws, 4) + certainty
+        (B, hs, 2*ws) at the output resolution (upsample_res when two-pass)."""
+        if im_a.ndim == 3:
+            im_a, im_b = im_a[None], im_b[None]
+        B = im_a.shape[0]
+        cfg = self.cfg
+        hs, ws = cfg.coarse_resolution
+        a = self.normalize(resize_bicubic(im_a, (hs, ws)))
+        b = self.normalize(resize_bicubic(im_b, (hs, ws)))
+        corresps = self._fwd(self.params, a, b)
+
+        if cfg.upsample_preds:
+            hs, ws = cfg.upsample_resolution
+
+        low_res_certainty = None
+        if cfg.attenuate_cert:
+            lrc = interpolate_bilinear(corresps[16]["certainty"], (hs, ws))
+            low_res_certainty = 0.5 * lrc * (lrc < 0)
+
+        if cfg.upsample_preds:
+            finest = corresps[1]
+            a2 = self.normalize(resize_bicubic(im_a, (hs, ws)))
+            b2 = self.normalize(resize_bicubic(im_b, (hs, ws)))
+            sf = float(np.sqrt(
+                (hs * ws) / (cfg.coarse_resolution[0] * cfg.coarse_resolution[1])
+            ))
+            corresps = self._fwd_up(
+                self.params, a2, b2, finest["flow"], finest["certainty"], sf
+            )
+
+        flow = corresps[1]["flow"]
+        certainty = corresps[1]["certainty"]
+        if low_res_certainty is not None:
+            certainty = certainty - low_res_certainty
+        certainty = jax.nn.sigmoid(certainty[..., 0])
+        # zero certainty for out-of-bounds targets, clamp flow (matcher.py:708-711)
+        oob = jnp.any(jnp.abs(flow) > 1, axis=-1)
+        certainty = jnp.where(oob, 0.0, certainty)
+        flow = jnp.clip(flow, -1, 1)
+
+        grid = jnp.broadcast_to(coord_grid(hs, ws), (B, hs, ws, 2))
+        if cfg.symmetric:
+            a_to_b, b_to_a = flow[:B], flow[B:]
+            q_warp = jnp.concatenate([grid, a_to_b], axis=-1)
+            s_warp = jnp.concatenate([b_to_a, grid], axis=-1)
+            warp = jnp.concatenate([q_warp, s_warp], axis=2)  # side-by-side in W
+            certainty = jnp.concatenate([certainty[:B], certainty[B:]], axis=2)
+        else:
+            warp = jnp.concatenate([grid, flow], axis=-1)
+        if batched:
+            return warp, certainty
+        return warp[0], certainty[0]
+
+    def sample(self, warp, certainty, num: int = 10000, key: jax.Array | None = None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return sample_matches(
+            key, warp, certainty, num=num, sample_thresh=self.cfg.sample_thresh
+        )
+
+    def to_pixel_coordinates(self, coords, h_a, w_a, h_b=None, w_b=None):
+        if coords.shape[-1] == 2:
+            return normalized_to_pixel(coords, h_a, w_a)
+        return (
+            normalized_to_pixel(coords[..., :2], h_a, w_a),
+            normalized_to_pixel(coords[..., 2:], h_b, w_b),
+        )

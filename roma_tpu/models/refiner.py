@@ -1,0 +1,114 @@
+"""ConvRefiner: per-scale warp refinement CNN.
+
+TPU re-design of the reference refiner
+(/root/reference/romatch/models/matcher.py:17-143). Per scale it:
+1. warps im_B features to im_A via the current flow (bilinear gather),
+2. embeds the displacement from the identity grid with a 1x1 conv, scaled by
+   40/32 * scale_factor (the constant is weight-compatibility-critical,
+   matcher.py:120),
+3. optionally concatenates a (2r+1)^2 local correlation around the warp
+   target (scales 16/8/4; radius from config),
+4. runs 1 in-block + N hidden depthwise-separable conv blocks
+   (k=5 grouped conv -> BN(momentum .01) -> ReLU -> 1x1 conv),
+5. emits (delta_flow x2, delta_certainty x1) from a float32 1x1 head.
+
+The reference's per-batch python loop in local correlation
+(utils/local_correlation.py:40) is replaced by the vectorized/scanned
+`roma_tpu.ops.local_correlation`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.models.layers import torch_padding
+from roma_tpu.ops.corr import coord_grid
+from roma_tpu.ops.grid_sample import grid_sample
+from roma_tpu.ops.local_corr import local_correlation
+
+
+class DWBlock(nn.Module):
+    """Depthwise-separable block: grouped k=5 conv -> BN -> ReLU -> 1x1 conv."""
+
+    features: int
+    kernel_size: int = 5
+    depthwise: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        groups = x.shape[-1] if self.depthwise else 1
+        x = nn.Conv(
+            self.features, (self.kernel_size, self.kernel_size),
+            padding=torch_padding(self.kernel_size), feature_group_count=groups,
+            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-5,
+            dtype=jnp.float32, name="norm",
+        )(x.astype(jnp.float32))
+        x = nn.relu(x).astype(self.dtype)
+        return nn.Conv(
+            self.features, (1, 1), use_bias=True, dtype=self.dtype,
+            param_dtype=jnp.float32, name="conv2",
+        )(x)
+
+
+class ConvRefiner(nn.Module):
+    hidden_dim: int
+    displacement_emb_dim: int
+    local_corr_radius: int | None = None
+    hidden_blocks: int = 8
+    kernel_size: int = 5
+    disp_emb_gain: float = 40.0 / 32.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        y: jax.Array,
+        flow: jax.Array,
+        scale_factor: float = 1.0,
+        train: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """x, y: (B,H,W,C) projected A/B feats; flow: (B,H,W,2) normalized.
+
+        Returns (delta_flow (B,H,W,2), delta_certainty (B,H,W,1)) — raw conv
+        output; the Decoder applies the refine_init/ins scaling.
+        """
+        B, H, W, C = x.shape
+        x_hat = grid_sample(y, flow).astype(self.dtype)
+
+        grid = jnp.broadcast_to(coord_grid(H, W), (B, H, W, 2))
+        disp = (flow - grid).astype(jnp.float32)
+        emb = nn.Conv(
+            self.displacement_emb_dim, (1, 1), use_bias=True, dtype=self.dtype,
+            param_dtype=jnp.float32, name="disp_emb",
+        )((self.disp_emb_gain * scale_factor * disp).astype(self.dtype))
+
+        parts = [x.astype(self.dtype), x_hat, emb]
+        if self.local_corr_radius is not None:
+            corr = local_correlation(
+                jax.lax.stop_gradient(x.astype(jnp.float32)),
+                jax.lax.stop_gradient(y.astype(jnp.float32)),
+                self.local_corr_radius,
+                jax.lax.stop_gradient(flow),
+            )
+            parts.append(corr.astype(self.dtype))
+        d = jnp.concatenate(parts, axis=-1)
+
+        d = DWBlock(
+            self.hidden_dim, self.kernel_size, dtype=self.dtype, name="block_in"
+        )(d, train)
+        for i in range(self.hidden_blocks):
+            d = DWBlock(
+                self.hidden_dim, self.kernel_size, dtype=self.dtype, name=f"block_{i}"
+            )(d, train)
+        out = nn.Conv(
+            3, (1, 1), use_bias=True, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="out_conv",
+        )(d.astype(jnp.float32))
+        return out[..., :2], out[..., 2:]

@@ -1,0 +1,263 @@
+"""Benchmark harness + dataset tests on synthetic scenes with exact GT.
+
+An oracle matcher that emits the true planar warp must drive the Mega-1500
+protocol to AUC ~= 1; a corrupted oracle must not. This validates sampling,
+K-rescaling, pixel conventions, RANSAC protocol, and the AUC reduction
+without any real dataset.
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.utils.geometry import normalized_to_pixel
+from roma_tpu.utils.sampling import sample_matches
+
+
+# ---------------------------------------------------------------------------
+# synthetic planar world
+# ---------------------------------------------------------------------------
+
+FX = 500.0
+IMG_W, IMG_H = 320, 240
+PLANE_D = 5.0
+
+
+def make_K():
+    return np.array([[FX, 0, IMG_W / 2], [0, FX, IMG_H / 2], [0, 0, 1.0]])
+
+
+def make_pose(i):
+    """World2cam for camera i: small rotations + translations along x."""
+    a = np.deg2rad(3.0 * i)
+    R = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    t = np.array([0.4 * i, 0.02 * i, 0.0])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def homography_1to2(T1, T2, K, d_world=PLANE_D):
+    """Planar homography for the world plane z=d_world."""
+    T_rel = T2 @ np.linalg.inv(T1)
+    R, t = T_rel[:3, :3], T_rel[:3, 3]
+    # plane in cam1 coords: n^T X = d
+    R1, t1 = T1[:3, :3], T1[:3, 3]
+    n_w = np.array([0.0, 0, 1.0])
+    n_c = R1 @ n_w
+    d_c = d_world + n_c @ t1
+    H = K @ (R + np.outer(t, n_c) / d_c) @ np.linalg.inv(K)
+    return H
+
+
+def two_plane_homographies(i):
+    """Pair (i, i+1) warps: near plane on the left half, far plane on the
+    right. A single-plane scene makes E estimation degenerate (twisted-pair
+    ambiguity) — two planes pin the epipolar geometry uniquely."""
+    T1, T2, K = make_pose(i), make_pose(i + 1), make_K()
+    return (
+        homography_1to2(T1, T2, K, PLANE_D),
+        homography_1to2(T1, T2, K, PLANE_D + 4.0),
+    )
+
+
+class OracleMatcher:
+    """Emits the exact dense warp for a queue of known two-plane scenes."""
+
+    def __init__(self, homography_pairs, noise=0.0, out_hw=(IMG_H, IMG_W)):
+        self.homography_pairs = list(homography_pairs)
+        self.calls = 0
+        self.noise = noise
+        self.out_hw = out_hw
+        self.sample_thresh = 0.05
+
+    def match(self, im_a, im_b, batched=False):
+        H_near, H_far = self.homography_pairs[self.calls % len(self.homography_pairs)]
+        self.calls += 1
+        h, w = self.out_hw
+        xs = np.linspace(-1 + 1 / w, 1 - 1 / w, w)
+        ys = np.linspace(-1 + 1 / h, 1 - 1 / h, h)
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        px = np.stack([IMG_W * (gx + 1) / 2, IMG_H * (gy + 1) / 2, np.ones_like(gx)], -1)
+        warped_n = px @ H_near.T
+        warped_n = warped_n[..., :2] / warped_n[..., 2:]
+        warped_f = px @ H_far.T
+        warped_f = warped_f[..., :2] / warped_f[..., 2:]
+        warped = np.where((gx < 0)[..., None], warped_n, warped_f)
+        wx = 2 * warped[..., 0] / IMG_W - 1
+        wy = 2 * warped[..., 1] / IMG_H - 1
+        if self.noise:
+            rng = np.random.default_rng(self.calls)
+            wx = wx + rng.normal(0, self.noise, wx.shape)
+            wy = wy + rng.normal(0, self.noise, wy.shape)
+        warp = np.stack([gx, gy, wx, wy], axis=-1).astype(np.float32)
+        cert = ((np.abs(wx) < 1) & (np.abs(wy) < 1)).astype(np.float32) * 0.9
+        return jnp.asarray(warp), jnp.asarray(cert)
+
+    def sample(self, warp, certainty, num=5000, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return sample_matches(key, warp, certainty, num=num,
+                              sample_thresh=self.sample_thresh)
+
+    def to_pixel_coordinates(self, coords, h, w, h2=None, w2=None):
+        if coords.shape[-1] == 2:
+            return normalized_to_pixel(coords, h, w)
+        return (
+            normalized_to_pixel(coords[..., :2], h, w),
+            normalized_to_pixel(coords[..., 2:], h2, w2),
+        )
+
+
+@pytest.fixture(scope="module")
+def mega_scene_dir(tmp_path_factory):
+    """Fake MegaDepth layout: scene npz + images + h5 depths."""
+    root = tmp_path_factory.mktemp("megadepth")
+    rng = np.random.default_rng(0)
+    n_im = 4
+    os.makedirs(root / "images", exist_ok=True)
+    im_paths, depth_paths, intrinsics, poses = [], [], [], []
+    for i in range(n_im):
+        img = (rng.uniform(0, 255, (IMG_H, IMG_W, 3))).astype(np.uint8)
+        p = f"images/im_{i}.jpg"
+        Image.fromarray(img).save(root / p)
+        im_paths.append(p)
+        dp = f"images/depth_{i}.h5"
+        T = make_pose(i)
+        # depth of the plane z=PLANE_D seen from camera i (approx constant
+        # for these small rotations; exact enough for loader tests)
+        with h5py.File(root / dp, "w") as f:
+            f.create_dataset("depth", data=np.full((IMG_H, IMG_W), PLANE_D, np.float32))
+        depth_paths.append(dp)
+        intrinsics.append(make_K())
+        poses.append(T)
+    pairs = [(i, i + 1) for i in range(n_im - 1)]
+    np.savez(
+        root / "scene.npz",
+        pair_infos=np.array([[p, 0.5] for p in pairs], dtype=object),
+        intrinsics=np.array(intrinsics),
+        poses=np.array(poses),
+        image_paths=np.array(im_paths),
+    )
+    # prep_scene_info layout for the dataset builder
+    os.makedirs(root / "prep_scene_info", exist_ok=True)
+    info = {
+        "image_paths": np.array(im_paths),
+        "depth_paths": np.array(depth_paths),
+        "intrinsics": np.array(intrinsics),
+        "poses": np.array(poses),
+        "pairs": np.array(pairs),
+        "overlaps": np.full(len(pairs), 0.5),
+    }
+    np.save(root / "prep_scene_info" / "0015.npy", info, allow_pickle=True)
+    np.save(root / "prep_scene_info" / "0022.npy", info, allow_pickle=True)
+    return root
+
+
+def test_megadepth_pose_benchmark_oracle(mega_scene_dir):
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+
+    homs = [two_plane_homographies(i) for i in range(3)]
+    bench = MegaDepthPoseEstimationBenchmark(
+        data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+        num_ransac_runs=2, sample_num=1000,
+    )
+    res = bench.benchmark(OracleMatcher(homs))
+    assert res["auc_5"] > 0.9, res
+    assert res["map_5"] == 1.0
+
+
+def test_megadepth_pose_benchmark_garbage_matcher(mega_scene_dir):
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+
+    # identity warp for non-identity geometry -> big pose errors
+    homs = [(np.eye(3), np.eye(3))] * 3
+    bench = MegaDepthPoseEstimationBenchmark(
+        data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+        num_ransac_runs=1, sample_num=500,
+    )
+    res = bench.benchmark(OracleMatcher(homs))
+    assert res["auc_5"] < 0.5
+
+
+def test_megadepth_scene_dataset(mega_scene_dir):
+    from roma_tpu.datasets.megadepth import MegadepthBuilder
+
+    builder = MegadepthBuilder(data_root=str(mega_scene_dir))
+    scenes = builder.build_scenes(split="test_loftr", ht=96, wt=128, shake_t=4)
+    assert len(scenes) == 2
+    item = scenes[0][0]
+    assert item["im_A"].shape == (96, 128, 3)
+    assert item["im_A_depth"].shape == (96, 128)
+    assert item["K1"].shape == (3, 3) and item["T_1to2"].shape == (4, 4)
+    # K rescaled to the training resolution (+/- shake offset on the center)
+    assert abs(item["K1"][0, 0] - FX * 128 / IMG_W) < 1e-4
+    ws = builder.weight_scenes(scenes, alpha=0.75)
+    assert len(ws) == sum(len(s) for s in scenes)
+
+
+def test_weighted_loader(mega_scene_dir):
+    from roma_tpu.datasets.loader import PairLoader, weighted_pair_iterator
+    from roma_tpu.datasets.megadepth import MegadepthBuilder
+
+    builder = MegadepthBuilder(data_root=str(mega_scene_dir))
+    scenes = builder.build_scenes(split="test_loftr", ht=64, wt=64)
+    ws = builder.weight_scenes(scenes)
+    it = weighted_pair_iterator(scenes, ws, batch_size=4, seed=1)
+    loader = PairLoader(it, prefetch=2, num_threads=2)
+    batch = next(loader)
+    assert batch["im_A"].shape == (4, 64, 64, 3)
+    assert batch["T_1to2"].shape == (4, 4, 4)
+    loader.close()
+
+
+def test_dense_benchmark_oracle(mega_scene_dir):
+    from roma_tpu.benchmarks.dense import MegadepthDenseBenchmark
+
+    class DenseOracle:
+        """Perfect warp from depth geometry for the dense protocol."""
+
+        def match(self, im_a, im_b, batched=True):
+            from roma_tpu.utils.geometry import get_gt_warp, get_grid
+
+            B, H, W, _ = im_a.shape
+            # identity-ish: use GT warp computed by the benchmark itself is
+            # circular, so emit the planar homography warp per pair order
+            m = OracleMatcher([two_plane_homographies(0)], out_hw=(H, W))
+            warps, certs = [], []
+            for _ in range(B):
+                w_, c_ = m.match(None, None)
+                m.calls = 0
+                warps.append(np.asarray(w_))
+                certs.append(np.asarray(c_))
+            return jnp.asarray(np.stack(warps)), jnp.asarray(np.stack(certs))
+
+    bench = MegadepthDenseBenchmark(
+        data_root=str(mega_scene_dir), h=IMG_H, w=IMG_W,
+        num_samples=2, batch_size=2,
+    )
+    # only pairs (i, i+1) with i=0 match the oracle's homography; others
+    # won't — just verify the plumbing runs and returns the metric keys
+    res = bench.benchmark(DenseOracle())
+    assert set(res) == {"epe", "mega_pck_1", "mega_pck_3", "mega_pck_5"}
+
+
+def test_pose_backend_native_equivalence(mega_scene_dir):
+    """The native (cv2-free) backend must also drive the oracle to high AUC."""
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+
+    homs = [two_plane_homographies(i) for i in range(3)]
+    bench = MegaDepthPoseEstimationBenchmark(
+        data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+        pose_backend="native", num_ransac_runs=1, sample_num=1000,
+    )
+    res = bench.benchmark(OracleMatcher(homs))
+    assert res["auc_5"] > 0.85, res

@@ -1,0 +1,127 @@
+"""Full RoMa: component numerics + end-to-end two-pass matcher contract."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.models.gp import GP, cos_kernel, spd_solve
+from roma_tpu.models.matcher import RomaMatcher, RomaModel
+from roma_tpu.models.zoo import debug_roma_config
+
+
+def test_cos_kernel_matches_reference_formula(rng):
+    x = rng.standard_normal((2, 6, 8)).astype(np.float32)
+    y = rng.standard_normal((2, 5, 8)).astype(np.float32)
+    K = np.asarray(cos_kernel(jnp.asarray(x), jnp.asarray(y), T=0.2))
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    c = torch.einsum("bnd,bmd->bnm", tx, ty) / (
+        tx.norm(dim=-1)[..., None] * ty.norm(dim=-1)[:, None] + 1e-6
+    )
+    ref = ((c - 1.0) / 0.2).exp().numpy()
+    np.testing.assert_allclose(K, ref, atol=1e-5)
+    # kernel of x with itself has unit diagonal
+    Kxx = np.asarray(cos_kernel(jnp.asarray(x), jnp.asarray(x), T=0.2))
+    np.testing.assert_allclose(np.diagonal(Kxx, axis1=1, axis2=2), 1.0, atol=1e-4)
+
+
+def test_spd_solve_matches_inverse(rng):
+    """Cholesky solve == the reference's explicit inverse path
+    (matcher.py:259-263) on an SPD system."""
+    n, d = 40, 6
+    A = rng.standard_normal((2, n, n)).astype(np.float32)
+    A = A @ np.swapaxes(A, -1, -2) / n + 0.1 * np.eye(n, dtype=np.float32)
+    b = rng.standard_normal((2, n, d)).astype(np.float32)
+    ours = np.asarray(spd_solve(jnp.asarray(A), jnp.asarray(b)))
+    ref = np.linalg.inv(A.astype(np.float64)) @ b.astype(np.float64)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_gp_posterior_interpolates_coordinates(rng):
+    """With identical feature maps, K_xy == K_yy, so the posterior mean is
+    K_yy (K_yy + sigma I)^-1 f — a smoothed version of the coordinate
+    embedding f: highly correlated with f, not equal."""
+    gp = GP(gp_dim=16)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 12)).astype(np.float32))
+    params = gp.init(jax.random.PRNGKey(0), x, x)
+    mu = gp.apply(params, x, x)
+    assert mu.shape == (1, 6, 6, 16)
+    assert np.isfinite(np.asarray(mu)).all()
+    # smoothing shrinks magnitude: |mu| <= |f| (f = cos(...) bounded by 1)
+    assert float(jnp.abs(mu).max()) <= 1.0 + 1e-4
+
+
+@pytest.fixture(scope="module")
+def debug_matcher():
+    return RomaMatcher.init(jax.random.PRNGKey(0), debug_roma_config())
+
+
+def test_roma_forward_scales_and_shapes(debug_matcher):
+    model = debug_matcher.model
+    x = jnp.zeros((1, 112, 112, 3))
+    out = model.apply(debug_matcher.params, x, x, symmetric=True, train=False)
+    assert set(out.keys()) == {16, 8, 4, 2, 1}
+    assert out[16]["flow"].shape == (2, 8, 8, 2)       # 112/14
+    assert out[8]["flow"].shape == (2, 14, 14, 2)      # 112/8
+    assert out[1]["flow"].shape == (2, 112, 112, 2)
+
+
+def test_roma_upsample_pass_shapes(debug_matcher):
+    model = debug_matcher.model
+    x1 = jnp.zeros((1, 112, 112, 3))
+    out1 = model.apply(debug_matcher.params, x1, x1, symmetric=True, train=False)
+    x2 = jnp.zeros((1, 224, 224, 3))
+    out2 = model.apply(
+        debug_matcher.params, x2, x2, symmetric=True, upsample=True,
+        flow=out1[1]["flow"], certainty=out1[1]["certainty"],
+        scale_factor=2.0, train=False,
+    )
+    assert set(out2.keys()) == {8, 4, 2, 1}
+    assert out2[1]["flow"].shape == (2, 224, 224, 2)
+
+
+def test_roma_match_end_to_end(debug_matcher, rng):
+    im_a = jnp.asarray(rng.uniform(0, 1, (140, 180, 3)).astype(np.float32))
+    im_b = jnp.asarray(rng.uniform(0, 1, (140, 180, 3)).astype(np.float32))
+    warp, cert = debug_matcher.match(im_a, im_b)
+    hs, ws = debug_matcher.cfg.upsample_resolution
+    assert warp.shape == (hs, 2 * ws, 4)   # symmetric side-by-side
+    assert cert.shape == (hs, 2 * ws)
+    assert float(cert.min()) >= 0 and float(cert.max()) <= 1
+    assert np.isfinite(np.asarray(warp)).all()
+    m, c = debug_matcher.sample(warp, cert, num=500)
+    assert m.shape == (500, 4)
+
+
+def test_roma_train_corresps_carry_training_keys(debug_matcher):
+    x = jnp.zeros((1, 112, 112, 3))
+    out, _ = debug_matcher.model.apply(
+        debug_matcher.params, x, x, symmetric=False, train=True,
+        mutable=["batch_stats"],
+    )
+    assert "gm_cls" in out[16] and "gm_certainty" in out[16]
+    assert "delta_flow" in out[8] and "flow_pre_delta" in out[8]
+    assert out[16]["gm_cls"].shape[-1] == 64 * 64
+
+
+def test_dinov2_frozen_in_graph(debug_matcher):
+    """Encoder ViT output is stop-gradient'ed: loss grads w.r.t. dinov2
+    params must be exactly zero."""
+    model = debug_matcher.model
+    x = jnp.ones((1, 112, 112, 3)) * 0.5
+
+    def loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": debug_matcher.params["batch_stats"]},
+            x, x, symmetric=False, train=False,
+        )
+        return jnp.sum(out[1]["flow"] ** 2) + jnp.sum(out[16]["flow"] ** 2)
+
+    grads = jax.grad(loss)(debug_matcher.params["params"])
+    g_dino = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        grads["encoder"]["dinov2"], 0.0,
+    )
+    assert g_dino == 0.0
