@@ -332,3 +332,23 @@ class RomaMatcher:
             normalized_to_pixel(coords[..., :2], h_a, w_a),
             normalized_to_pixel(coords[..., 2:], h_b, w_b),
         )
+
+    def match_keypoints(self, x_a, x_b, warp, certainty, **kw):
+        from roma_tpu.models.api import match_keypoints
+
+        return match_keypoints(
+            x_a, x_b, warp, certainty, sample_thresh=self.cfg.sample_thresh, **kw
+        )
+
+    def conf_from_fb_consistency(self, flow_forward, flow_backward, th: float = 2.0):
+        from roma_tpu.models.api import conf_from_fb_consistency
+
+        return conf_from_fb_consistency(flow_forward, flow_backward, th)
+
+    def visualize_warp(self, warp, certainty, im_a, im_b, save_path=None):
+        from roma_tpu.models.api import visualize_warp
+
+        return visualize_warp(
+            warp, certainty, im_a, im_b,
+            symmetric=self.cfg.symmetric, save_path=save_path,
+        )

@@ -72,6 +72,87 @@ def make_tiny_train_state(
     )
 
 
+def make_roma_train_state(
+    rng: jax.Array,
+    cfg: TrainConfig = TrainConfig(),
+    roma_cfg=None,
+    hw: tuple[int, int] = (448, 448),
+) -> TrainState:
+    """Full-RoMa training state with the reference's parameter groups
+    (train_roma_outdoor.py:221-225): CNN encoder at lr_encoder, decoder at
+    lr_decoder, DINOv2 frozen (zero updates — its grads are already zero via
+    stop_gradient; the mask also keeps AdamW weight decay off it)."""
+    import optax
+
+    from roma_tpu.config import RomaConfig
+    from roma_tpu.models.matcher import RomaModel
+
+    roma_cfg = roma_cfg or RomaConfig()
+    model = RomaModel(roma_cfg)
+    x = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(rng, x, x, symmetric=False, train=False)
+
+    def label_tree(params):
+        def assign(path, _leaf):
+            keys = [str(p.key) for p in path if hasattr(p, "key")]
+            if "dinov2" in keys:
+                return "frozen"
+            if "encoder" in keys:
+                return "encoder"
+            return "decoder"
+
+        return jax.tree_util.tree_map_with_path(assign, params)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {
+                "encoder": _adamw_with_schedule(cfg, cfg.lr_encoder * cfg.batch_size),
+                "decoder": _adamw_with_schedule(cfg, cfg.lr_decoder * cfg.batch_size),
+                "frozen": optax.set_to_zero(),
+            },
+            label_tree,
+        ),
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=lambda v, a, b, **kw: model.apply(v, a, b, symmetric=False, **kw),
+    )
+
+
+def _adamw_with_schedule(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
+    milestone = int(cfg.steps * cfg.milestone_frac)
+
+    def schedule(count):
+        return lr * jnp.where(count * cfg.batch_size >= milestone, cfg.lr_decay, 1.0)
+
+    return optax.adamw(schedule, weight_decay=0.01)
+
+
+def train_k_steps(
+    state: TrainState,
+    loader,
+    step_fn,
+    k: int,
+    logger=None,
+    device_put=None,
+) -> TrainState:
+    """Run k optimizer steps off a batch iterator (reference
+    train/train.py:42-66 without the GradScaler machinery)."""
+    for _ in range(k):
+        batch = next(loader)
+        if device_put is not None:
+            batch = device_put(batch)
+        state, metrics = step_fn(state, batch)
+        if logger is not None:
+            logger.log(int(state.step), metrics)
+    return state
+
+
 def make_train_step(
     loss_fn: Callable = tiny_robust_loss,
     loss_cfg: RobustLossConfig | None = None,
