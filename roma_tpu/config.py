@@ -38,6 +38,8 @@ class TinyRomaConfig:
     fine_match_dim: int = 64      # fine matcher hidden width
     num_matcher_blocks: int = 4
     exact_softmax: bool = True    # exact softmax-expectation (MXU-cheap on TPU)
+    fused_kernel: bool = False    # Pallas streaming kernel: no (L0, L1) volume
+                                  # in HBM; enables very high resolutions
     sample_thresh: float = 0.05
     symmetric: bool = False
     dtype: str = "bfloat16"       # compute dtype; params stay float32

@@ -91,9 +91,10 @@ class ConvRefiner(nn.Module):
 
         parts = [x.astype(self.dtype), x_hat, emb]
         if self.local_corr_radius is not None:
+            # bf16 features in: the gathers inside are bandwidth-bound
             corr = local_correlation(
-                jax.lax.stop_gradient(x.astype(jnp.float32)),
-                jax.lax.stop_gradient(y.astype(jnp.float32)),
+                jax.lax.stop_gradient(x.astype(self.dtype)),
+                jax.lax.stop_gradient(y.astype(self.dtype)),
                 self.local_corr_radius,
                 jax.lax.stop_gradient(flow),
             )

@@ -79,9 +79,22 @@ class TinyRoma(nn.Module):
         f0f, f1f = fine[:B], fine[B:]
 
         _, h8, w8, _ = f0c.shape
-        cv = corr_volume(f0c.astype(jnp.float32), f1c.astype(jnp.float32))
-        embed = pos_embed_expectation if self.cfg.exact_softmax else pos_embed_fast
-        coarse_warp = embed(cv, (h8, w8)).reshape(B, h8, w8, 2)
+        if self.cfg.fused_kernel and not train:
+            # streaming Pallas kernel: exact softmax-expectation, no (L0, L1)
+            # volume in HBM (ops/pallas/corr_softmax.py)
+            from roma_tpu.ops.pallas.corr_softmax import fused_pos_embed
+
+            grid1 = coord_grid(h8, w8).reshape(h8 * w8, 2)
+            coarse_warp = fused_pos_embed(
+                f0c.reshape(B, h8 * w8, -1).astype(jnp.float32),
+                f1c.reshape(B, h8 * w8, -1).astype(jnp.float32),
+                grid1,
+            ).reshape(B, h8, w8, 2)
+            cv = None
+        else:
+            cv = corr_volume(f0c.astype(jnp.float32), f1c.astype(jnp.float32))
+            embed = pos_embed_expectation if self.cfg.exact_softmax else pos_embed_fast
+            coarse_warp = embed(cv, (h8, w8)).reshape(B, h8, w8, 2)
 
         # residual step scale: one target-image pixel in normalized units
         to_norm = jnp.asarray([2 / W, 2 / H, 1.0], jnp.float32)

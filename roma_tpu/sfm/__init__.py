@@ -1,0 +1,9 @@
+from roma_tpu.sfm.tracks import TrackBuilder, Track
+from roma_tpu.sfm.pose_graph import rotation_averaging, translation_averaging
+from roma_tpu.sfm.bundle_adjust import (
+    BAProblem,
+    bundle_adjust,
+    make_distributed_ba_step,
+    triangulate_tracks,
+)
+from roma_tpu.sfm.metrics import align_umeyama, absolute_trajectory_error

@@ -1,0 +1,379 @@
+"""Bundle adjustment with Schur-complement reduction — jittable, shardable.
+
+Net-new subsystem (BASELINE.json north star; no reference counterpart).
+Levenberg-Marquardt over camera poses (axis-angle + translation, world2cam)
+and 3D points, with the camera system solved by MATRIX-FREE Schur-complement
+CG:
+
+  H = [U  W; W^T V],   S = U - W V^-1 W^T   (reduced camera system)
+
+S is never materialized. Its matvec decomposes into per-observation segment
+ops: u_k = W_k^T x[cam_k];  s_p = V_p^-1 sum_{k in p} u_k;
+y[cam_k] -= W_k s_p — all `segment_sum`s over the observation array, which is
+exactly the shape GSPMD can shard: put the observation axis on the mesh
+`data` axis and the same jitted step runs distributed, with XLA inserting the
+cross-device reductions (the psum/all-gather layout of SURVEY §5.8).
+
+Jacobians are exact (vmapped jacfwd of the 2D reprojection residual).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# se3 / projection
+# ---------------------------------------------------------------------------
+
+def rodrigues(rvec: jax.Array) -> jax.Array:
+    """Axis-angle (3,) -> rotation matrix (3, 3).
+
+    Uses the unnormalized form R = I + a [v]x + b [v]x^2 with
+    a = sin(t)/t, b = (1-cos t)/t^2 and Taylor branches selected by the
+    double-where trick — differentiable at v = 0 (jacfwd through a
+    normalized-axis formula NaNs exactly there, and camera 0 sits at
+    rvec = 0 by gauge)."""
+    t2 = jnp.sum(rvec * rvec)
+    small = t2 < 1e-8
+    t2s = jnp.where(small, 1.0, t2)  # keeps the exact branch NaN-free
+    t = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
+    K = jnp.array([
+        [0.0, -rvec[2], rvec[1]],
+        [rvec[2], 0.0, -rvec[0]],
+        [-rvec[1], rvec[0], 0.0],
+    ])
+    return jnp.eye(3) + a * K + b * (K @ K)
+
+
+def project(cam: jax.Array, K: jax.Array, X: jax.Array) -> jax.Array:
+    """cam (6,) = [rvec, t] world2cam; K (3,3); X (3,) -> pixel (2,)."""
+    R = rodrigues(cam[:3])
+    Xc = R @ X + cam[3:]
+    x = K @ Xc
+    return x[:2] / jnp.maximum(x[2], 1e-8)
+
+
+def _residual(cam, X, uv_n):
+    """Reprojection residual in NORMALIZED camera coordinates.
+
+    Pixel-unit residuals give the Gauss-Newton system a condition number of
+    ~focal^2 * geometry (measured ~3e9 at f=400), which breaks fp32 CG; in
+    normalized units the Jacobian entries are O(1) and fp32 is accurate."""
+    R = rodrigues(cam[:3])
+    Xc = R @ X + cam[3:]
+    return Xc[:2] / jnp.maximum(Xc[2], 1e-8) - uv_n
+
+
+_res_jac = jax.vmap(jax.jacfwd(_residual, argnums=(0, 1)))
+_res_vec = jax.vmap(_residual)
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA problem. Arrays over the observation axis shard."""
+
+    cameras: jax.Array      # (n_cams, 6) [rvec, tvec] world2cam
+    points: jax.Array       # (n_pts, 3)
+    intrinsics: jax.Array   # (n_cams, 3, 3)
+    cam_idx: jax.Array      # (n_obs,) int32
+    pt_idx: jax.Array       # (n_obs,) int32
+    uv: jax.Array           # (n_obs, 2) pixel observations
+    mask: jax.Array         # (n_obs,) 1.0 valid / 0.0 padding
+
+
+def _robust_weight(r2: jax.Array, delta: float) -> jax.Array:
+    """Huber IRLS weight on squared residual norms."""
+    r = jnp.sqrt(r2 + 1e-12)
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+def _normalized_obs(p: BAProblem):
+    """(uv_n, focal) — observations in normalized camera coords; `focal` maps
+    normalized residual magnitudes back to pixels (for Huber thresholds)."""
+    Ks = p.intrinsics[p.cam_idx]
+    fx, fy = Ks[:, 0, 0], Ks[:, 1, 1]
+    cx, cy = Ks[:, 0, 2], Ks[:, 1, 2]
+    uv_n = jnp.stack([(p.uv[:, 0] - cx) / fx, (p.uv[:, 1] - cy) / fy], -1)
+    return uv_n, 0.5 * (fx + fy)
+
+
+def _build_blocks(p: BAProblem, huber_delta: float):
+    cams = p.cameras[p.cam_idx]
+    Xs = p.points[p.pt_idx]
+    uv_n, focal = _normalized_obs(p)
+    r = _res_vec(cams, Xs, uv_n)                     # (n_obs, 2) normalized
+    Jc, Jp = _res_jac(cams, Xs, uv_n)                # (n_obs,2,6), (n_obs,2,3)
+    # Huber threshold given in pixels; residuals live in normalized units
+    r2_px = jnp.sum(r * r, -1) * focal * focal
+    w = _robust_weight(r2_px, huber_delta) * p.mask
+    sw = jnp.sqrt(w)[:, None]
+    return r * sw, Jc * sw[..., None], Jp * sw[..., None]
+
+
+def _ba_cost(p: BAProblem, huber_delta: float) -> jax.Array:
+    """Robust cost in squared PIXELS (reported metric)."""
+    cams = p.cameras[p.cam_idx]
+    Xs = p.points[p.pt_idx]
+    uv_n, focal = _normalized_obs(p)
+    r = _res_vec(cams, Xs, uv_n)
+    r2_px = jnp.sum(r * r, -1) * focal * focal
+    w = _robust_weight(r2_px, huber_delta) * p.mask
+    return jnp.sum(w * r2_px)
+
+
+def _diag_clamp(M: jax.Array, floor: float = 1e-8) -> jax.Array:
+    """diag(M) as damping matrices, floored for never-observed blocks."""
+    d = jnp.maximum(jnp.diagonal(M, axis1=-2, axis2=-1), floor)
+    return jax.vmap(jnp.diag)(d)
+
+
+@partial(jax.jit, static_argnames=("n_cg", "huber_delta"))
+def ba_step(p: BAProblem, lam: jax.Array, n_cg: int = 50, huber_delta: float = 1e9):
+    """One damped Gauss-Newton (LM) step via matrix-free Schur CG.
+
+    Returns (delta_cams (n_cams, 6), delta_points (n_pts, 3), cost)."""
+    n_cams = p.cameras.shape[0]
+    n_pts = p.points.shape[0]
+    r, Jc, Jp = _build_blocks(p, huber_delta)
+
+    # gradient blocks g = J^T r
+    g_c = jax.ops.segment_sum(
+        jnp.einsum("kij,ki->kj", Jc, r), p.cam_idx, n_cams
+    )  # (n_cams, 6)
+    g_p = jax.ops.segment_sum(
+        jnp.einsum("kij,ki->kj", Jp, r), p.pt_idx, n_pts
+    )  # (n_pts, 3)
+
+    # Hessian diagonals
+    U = jax.ops.segment_sum(
+        jnp.einsum("kia,kib->kab", Jc, Jc), p.cam_idx, n_cams
+    )  # (n_cams, 6, 6)
+    V = jax.ops.segment_sum(
+        jnp.einsum("kia,kib->kab", Jp, Jp), p.pt_idx, n_pts
+    )  # (n_pts, 3, 3)
+    # Marquardt damping: scale by each block's own diagonal so lambda is
+    # unit-free (plain lam*I swamps the normalized-unit Hessian)
+    U = U + lam * _diag_clamp(U) + 1e-10 * jnp.eye(6)
+    V = V + lam * _diag_clamp(V) + 1e-10 * jnp.eye(3)
+    V_inv = jnp.linalg.inv(V)
+
+    # per-observation coupling block W_k = Jc_k^T Jp_k  (6, 3)
+    W = jnp.einsum("kia,kib->kab", Jc, Jp)
+
+    def schur_matvec(x):  # x (n_cams, 6)
+        y = jnp.einsum("cab,cb->ca", U, x)
+        u = jnp.einsum("kab,ka->kb", W, x[p.cam_idx])          # (n_obs, 3)
+        su = jax.ops.segment_sum(u, p.pt_idx, n_pts)           # (n_pts, 3)
+        s = jnp.einsum("pab,pb->pa", V_inv, su)                # (n_pts, 3)
+        back = jnp.einsum("kab,kb->ka", W, s[p.pt_idx])        # (n_obs, 6)
+        return y - jax.ops.segment_sum(back, p.cam_idx, n_cams)
+
+    # rhs b = -(g_c - W V^-1 g_p)
+    s_g = jnp.einsum("pab,pb->pa", V_inv, g_p)
+    coup = jax.ops.segment_sum(
+        jnp.einsum("kab,kb->ka", W, s_g[p.pt_idx]), p.cam_idx, n_cams
+    )
+    b = -(g_c - coup)
+
+    if n_cg == 0:
+        # dense reduced camera system: S = U_embed - D D^T with
+        # D[p] = scatter_c(W_k L_p^-T) — one scatter + one MXU matmul.
+        # Exact (no iteration), preferred while 6*n_cams stays dense-friendly;
+        # fp32 CG on S stalls well before convergence at BA conditioning.
+        L = jnp.linalg.cholesky(V)
+        # C_k = W_k L_p^-T: solve L_p C^T = W_k^T
+        Ct = jax.lax.linalg.triangular_solve(
+            L[p.pt_idx], jnp.swapaxes(W, -1, -2), left_side=True, lower=True
+        )  # (n_obs, 3, 6)
+        C = jnp.swapaxes(Ct, -1, -2)  # (n_obs, 6, 3)
+        D = jnp.zeros((n_pts, n_cams, 6, 3), jnp.float32)
+        D = D.at[p.pt_idx, p.cam_idx].add(C)
+        Dm = D.reshape(n_pts, n_cams * 6, 3)
+        M = jnp.einsum(
+            "pax,pbx->ab", Dm, Dm, precision=jax.lax.Precision.HIGHEST
+        )
+        S = -M
+        U_rows = jax.vmap(lambda u: u)(U)  # (n_cams, 6, 6)
+        S = S.reshape(n_cams, 6, n_cams, 6)
+        S = S.at[jnp.arange(n_cams), :, jnp.arange(n_cams), :].add(U_rows)
+        S = S.reshape(n_cams * 6, n_cams * 6)
+        delta_c = jnp.linalg.solve(S, b.reshape(-1)).reshape(n_cams, 6)
+    else:
+        # Jacobi-preconditioned CG (matrix-free; the distributed path)
+        U_diag_inv = jnp.linalg.inv(U)
+
+        def precond(v):
+            return jnp.einsum("cab,cb->ca", U_diag_inv, v)
+
+        def cg_body(_, state):
+            x, rr, z, pdir = state
+            Ap = schur_matvec(pdir)
+            alpha = jnp.vdot(rr, z) / jnp.maximum(jnp.vdot(pdir, Ap), 1e-12)
+            x = x + alpha * pdir
+            r_new = rr - alpha * Ap
+            z_new = precond(r_new)
+            beta = jnp.vdot(r_new, z_new) / jnp.maximum(jnp.vdot(rr, z), 1e-12)
+            return x, r_new, z_new, z_new + beta * pdir
+
+        z0 = precond(b)
+        state = (jnp.zeros_like(b), b, z0, z0)
+        x, *_ = jax.lax.fori_loop(0, n_cg, cg_body, state)
+        delta_c = x
+
+    # back-substitute points: delta_p = -V^-1 (g_p + W^T delta_c)
+    wtd = jax.ops.segment_sum(
+        jnp.einsum("kab,ka->kb", W, delta_c[p.cam_idx]), p.pt_idx, n_pts
+    )
+    delta_p = -jnp.einsum("pab,pb->pa", V_inv, g_p + wtd)
+
+    return delta_c, delta_p, _ba_cost(p, huber_delta)
+
+
+@partial(jax.jit, static_argnames=("huber_delta",))
+def _ba_blocks(p: BAProblem, huber_delta: float = 1e9):
+    """Jitted block extraction for the host-precision Schur solve."""
+    n_cams = p.cameras.shape[0]
+    n_pts = p.points.shape[0]
+    r, Jc, Jp = _build_blocks(p, huber_delta)
+    g_c = jax.ops.segment_sum(jnp.einsum("kij,ki->kj", Jc, r), p.cam_idx, n_cams)
+    g_p = jax.ops.segment_sum(jnp.einsum("kij,ki->kj", Jp, r), p.pt_idx, n_pts)
+    U = jax.ops.segment_sum(jnp.einsum("kia,kib->kab", Jc, Jc), p.cam_idx, n_cams)
+    V = jax.ops.segment_sum(jnp.einsum("kia,kib->kab", Jp, Jp), p.pt_idx, n_pts)
+    W = jnp.einsum("kia,kib->kab", Jc, Jp)
+    return U, V, W, g_c, g_p
+
+
+def _host_schur_solve(U, V, W, g_c, g_p, cam_idx, pt_idx, lam, fix_first_cam=True):
+    """Exact damped GN step in float64 on host. The reduced camera system has
+    cond ~1e9 (gauge + mixed units), beyond fp32 — the LM driver solves it at
+    full precision; sizes are (6 n_cams)^2."""
+    U = U.astype(np.float64)
+    V = V.astype(np.float64)
+    W = W.astype(np.float64)
+    g_c = g_c.astype(np.float64)
+    g_p = g_p.astype(np.float64)
+    nc, npt = len(U), len(V)
+    U = U + lam * np.stack([np.diag(np.maximum(np.diag(u), 1e-8)) for u in U])
+    V = V + lam * np.stack([np.diag(np.maximum(np.diag(v), 1e-8)) for v in V])
+    if fix_first_cam:
+        # pin the gauge INSIDE the system — zeroing the delta after solving a
+        # coupled system injects inconsistency into every other update
+        U[0] += 1e10 * np.eye(6)
+    V_inv = np.linalg.inv(V)
+    # dense S via per-point scatter of C = W L^-T  (C L^T = W  <=>  L C^T = W^T)
+    L = np.linalg.cholesky(V)
+    C = np.linalg.solve(L[pt_idx], np.transpose(W, (0, 2, 1))).transpose(0, 2, 1)
+    D = np.zeros((npt, nc, 6, 3))
+    np.add.at(D, (pt_idx, cam_idx), C)
+    Dm = D.reshape(npt, nc * 6, 3)
+    S = -np.einsum("pax,pbx->ab", Dm, Dm)
+    for c in range(nc):
+        S[6 * c : 6 * c + 6, 6 * c : 6 * c + 6] += U[c]
+    s_g = np.einsum("pab,pb->pa", V_inv, g_p)
+    coup = np.zeros((nc, 6))
+    np.add.at(coup, cam_idx, np.einsum("kab,kb->ka", W, s_g[pt_idx]))
+    b = -(g_c - coup)
+    delta_c = np.linalg.solve(S, b.reshape(-1)).reshape(nc, 6)
+    wtd = np.zeros((npt, 3))
+    np.add.at(wtd, pt_idx, np.einsum("kab,ka->kb", W, delta_c[cam_idx]))
+    delta_p = -np.einsum("pab,pb->pa", V_inv, g_p + wtd)
+    return delta_c, delta_p
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    iters: int = 20,
+    lam0: float = 1e-4,
+    huber_delta: float = 1e9,
+    fix_first_cam: bool = True,
+    verbose: bool = False,
+):
+    """LM driver: jitted residual/Jacobian blocks on device, exact fp64 Schur
+    solve on host. Returns (optimized problem, final robust cost in px^2)."""
+    p = problem
+    lam = lam0
+    cam_idx = np.asarray(p.cam_idx)
+    pt_idx = np.asarray(p.pt_idx)
+    cost = float(_ba_cost(p, huber_delta))
+    for it in range(iters):
+        U, V, W, g_c, g_p = [
+            np.asarray(a) for a in _ba_blocks(p, huber_delta=huber_delta)
+        ]
+        dc, dp = _host_schur_solve(
+            U, V, W, g_c, g_p, cam_idx, pt_idx, lam, fix_first_cam
+        )
+        if fix_first_cam:
+            dc[0] = 0.0  # exactly zero the (already ~zero) pinned block
+        cand = p._replace(
+            cameras=p.cameras + jnp.asarray(dc, jnp.float32),
+            points=p.points + jnp.asarray(dp, jnp.float32),
+        )
+        new_cost = float(_ba_cost(cand, huber_delta))
+        if new_cost < cost:
+            p, cost = cand, new_cost
+            lam = max(lam * 0.3, 1e-10)
+        else:
+            lam = min(lam * 5.0, 1e6)
+        if verbose:
+            print(f"BA it {it}: cost {cost:.6g} lam {lam:.2e}")
+    return p, cost
+
+
+def make_distributed_ba_step(mesh, n_cg: int = 50, huber_delta: float = 1e9):
+    """The same `ba_step`, jitted with the observation axis sharded over the
+    mesh `data` axis (cameras/points replicated). XLA inserts the segment-sum
+    all-reduces — this IS the distributed Schur-complement BA."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    obs = NamedSharding(mesh, P("data"))
+    prob_shard = BAProblem(
+        cameras=rep, points=rep, intrinsics=rep,
+        cam_idx=obs, pt_idx=obs, uv=obs, mask=obs,
+    )
+    return jax.jit(
+        partial(ba_step, n_cg=n_cg, huber_delta=huber_delta),
+        in_shardings=(prob_shard, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def triangulate_tracks(
+    cameras: np.ndarray,
+    intrinsics: np.ndarray,
+    cam_idx: np.ndarray,
+    pt_idx: np.ndarray,
+    uv: np.ndarray,
+    n_pts: int,
+) -> np.ndarray:
+    """Multiview midpoint triangulation via segment ops (vectorized DLT-free).
+
+    Solves per point: (sum_k I - d_k d_k^T) X = sum_k (I - d_k d_k^T) c_k
+    where d_k are the world-frame observation rays."""
+    cams = jnp.asarray(cameras)[jnp.asarray(cam_idx)]
+    Ks = jnp.asarray(intrinsics)[jnp.asarray(cam_idx)]
+    Rs = jax.vmap(rodrigues)(cams[:, :3])
+    centers = -jnp.einsum("kij,ki->kj", Rs, cams[:, 3:])
+    ray_cam = jnp.einsum(
+        "kij,kj->ki",
+        jnp.linalg.inv(Ks),
+        jnp.concatenate([jnp.asarray(uv), jnp.ones((len(uv), 1))], -1),
+    )
+    d = jnp.einsum("kji,kj->ki", Rs, ray_cam)  # R^T x: cam ray -> world
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    P_k = jnp.eye(3)[None] - jnp.einsum("ki,kj->kij", d, d)
+    A = jax.ops.segment_sum(P_k, jnp.asarray(pt_idx), n_pts)
+    b = jax.ops.segment_sum(
+        jnp.einsum("kij,kj->ki", P_k, centers), jnp.asarray(pt_idx), n_pts
+    )
+    X = jnp.linalg.solve(A + 1e-9 * jnp.eye(3), b[..., None])[..., 0]
+    return np.asarray(X)
