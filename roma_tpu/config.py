@@ -40,6 +40,11 @@ class TinyRomaConfig:
     exact_softmax: bool = True    # exact softmax-expectation (MXU-cheap on TPU)
     fused_kernel: bool = False    # Pallas streaming kernel: no (L0, L1) volume
                                   # in HBM; enables very high resolutions
+    # search-space restriction (fork capability, model_tiny2.py:388-533):
+    # "full" global matching, "band" = +-band_radius rows, "row" = same row
+    search_mode: str = "full"
+    band_radius: int = 4
+    coarse_iters: int = 1         # iterated coarse matcher (model_tiny.py:427-430)
     sample_thresh: float = 0.05
     symmetric: bool = False
     dtype: str = "bfloat16"       # compute dtype; params stay float32

@@ -79,7 +79,17 @@ class TinyRoma(nn.Module):
         f0f, f1f = fine[:B], fine[B:]
 
         _, h8, w8, _ = f0c.shape
-        if self.cfg.fused_kernel and not train:
+        if self.cfg.search_mode != "full":
+            # restricted search (rectified/stereo-like pairs): band or
+            # row-only matching, fork capability (model_tiny2.py:388-533)
+            from roma_tpu.ops.band_corr import banded_pos_embed, row_pos_embed
+
+            if self.cfg.search_mode == "row":
+                coarse_warp = row_pos_embed(f0c, f1c)
+            else:
+                coarse_warp = banded_pos_embed(f0c, f1c, self.cfg.band_radius)
+            cv = None
+        elif self.cfg.fused_kernel and not train:
             # streaming Pallas kernel: exact softmax-expectation, no (L0, L1)
             # volume in HBM (ops/pallas/corr_softmax.py)
             from roma_tpu.ops.pallas.corr_softmax import fused_pos_embed
@@ -99,15 +109,19 @@ class TinyRoma(nn.Module):
         # residual step scale: one target-image pixel in normalized units
         to_norm = jnp.asarray([2 / W, 2 / H, 1.0], jnp.float32)
 
-        f1c_warped = grid_sample(f1c, coarse_warp)
-        coarse_in = jnp.concatenate(
-            [f0c, f1c_warped.astype(dt), coarse_warp.astype(dt)], axis=-1
+        # iterated coarse matcher: re-apply the same refiner on its own output
+        # (fork recipe, model_tiny.py:427-430 / model_tiny1.py:713-717)
+        coarse_matches = jnp.concatenate(
+            [coarse_warp, jnp.zeros_like(coarse_warp[..., :1])], -1
         )
-        delta = self.coarse_matcher(coarse_in, train)
-        coarse_matches = (
-            jnp.concatenate([coarse_warp, jnp.zeros_like(coarse_warp[..., :1])], -1)
-            + delta * to_norm
-        )
+        for _ in range(self.cfg.coarse_iters):
+            warp_now = coarse_matches[..., :2]
+            f1c_warped = grid_sample(f1c, warp_now)
+            coarse_in = jnp.concatenate(
+                [f0c, f1c_warped.astype(dt), warp_now.astype(dt)], axis=-1
+            )
+            delta = self.coarse_matcher(coarse_in, train)
+            coarse_matches = coarse_matches + delta * to_norm
         corresps = {
             8: {"flow": coarse_matches[..., :2], "certainty": coarse_matches[..., 2:]}
         }
