@@ -263,11 +263,20 @@ class RomaMatcher:
     def normalize(im: jax.Array) -> jax.Array:
         return (im - IMAGENET_MEAN) / IMAGENET_STD
 
-    def match(self, im_a: jax.Array, im_b: jax.Array, batched: bool = False):
-        """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1].
+    def match(self, im_a, im_b, batched: bool = False):
+        """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1], or image paths.
 
         Returns (warp, certainty): symmetric warp (B, hs, 2*ws, 4) + certainty
         (B, hs, 2*ws) at the output resolution (upsample_res when two-pass)."""
+        if isinstance(im_a, (str, bytes)) or hasattr(im_a, "__fspath__"):
+            from PIL import Image
+
+            im_a = jnp.asarray(
+                np.asarray(Image.open(im_a).convert("RGB"), np.float32) / 255.0
+            )
+            im_b = jnp.asarray(
+                np.asarray(Image.open(im_b).convert("RGB"), np.float32) / 255.0
+            )
         if im_a.ndim == 3:
             im_a, im_b = im_a[None], im_b[None]
         B = im_a.shape[0]

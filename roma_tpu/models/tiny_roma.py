@@ -36,6 +36,20 @@ from roma_tpu.utils.geometry import normalized_to_pixel
 from roma_tpu.utils.sampling import sample_matches
 
 
+def _load_image_pair(path_a, path_b):
+    """Load two images to one common (model-friendly) size, [0, 1] float."""
+    from PIL import Image
+
+    pa = Image.open(path_a).convert("RGB")
+    pb = Image.open(path_b).convert("RGB")
+    # common size: A's, rounded to the /32 contract
+    w, h = pa.size
+    w, h = max(32, (w // 32) * 32), max(32, (h // 32) * 32)
+    a = np.asarray(pa.resize((w, h), Image.BICUBIC), np.float32) / 255.0
+    b = np.asarray(pb.resize((w, h), Image.BICUBIC), np.float32) / 255.0
+    return jnp.asarray(a), jnp.asarray(b)
+
+
 class MatchRefiner(nn.Module):
     """N ConvBlocks + 1x1 head -> (dx, dy, certainty-logit)."""
 
@@ -170,14 +184,17 @@ class TinyRomaMatcher:
     def forward(self, im_a: jax.Array, im_b: jax.Array):
         return self._jit_forward(self.params, self.preprocess(im_a), self.preprocess(im_b))
 
-    def match(self, im_a: jax.Array, im_b: jax.Array, batched: bool = False):
+    def match(self, im_a, im_b, batched: bool = False):
         """Dense warp + certainty at input resolution.
 
         Args:
-          im_a, im_b: (B, H, W, 3) float images in [0, 1] (same H, W).
+          im_a, im_b: (B, H, W, 3) float images in [0, 1] (same H, W), or
+            image file paths (reference match_from_path, tiny.py:256-261).
         Returns:
           warp (B, H, W, 4) [x_A, y_A, x_B, y_B] normalized, cert (B, H, W).
         """
+        if isinstance(im_a, (str, bytes)) or hasattr(im_a, "__fspath__"):
+            im_a, im_b = _load_image_pair(im_a, im_b)
         if im_a.ndim == 3:
             im_a, im_b = im_a[None], im_b[None]
         B, H, W, _ = im_a.shape
