@@ -72,29 +72,104 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class SwiGLUFFN(nn.Module):
+    """SwiGLU feed-forward (reference layers/swiglu_ffn.py:13-63; hidden dim
+    rounded to 2/3 * 4d, multiple of 8, as in the fused variant). Selected by
+    ffn_layer="swiglu"; every shipped config uses "mlp" (encoders.py:89)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = int(self.dim * self.mlp_ratio * 2 / 3 + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="w3")(nn.silu(x1) * x2)
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool,
+              rng: jax.Array | None = None) -> jax.Array:
+    """Stochastic depth on the residual branch (reference
+    layers/drop_path.py:15-35). Identity when deterministic or rate=0."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class DINOHead(nn.Module):
+    """DINO projection head (reference layers/dino_head.py:13-59): MLP ->
+    L2-normalized bottleneck -> weight-normalized prototype layer. Unused at
+    inference; provided for SSL-pretraining parity."""
+
+    out_dim: int
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    nlayers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.nlayers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"mlp_{i}")(x)
+            x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.bottleneck_dim, dtype=self.dtype,
+                     name=f"mlp_{self.nlayers - 1}")(x)
+        eps = 1e-6 if x.dtype == jnp.float16 else 1e-12
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+        # weight-normalized last layer with unit gain
+        v = self.param("last_layer_v",
+                       nn.initializers.normal(0.02),
+                       (self.bottleneck_dim, self.out_dim))
+        w = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+        return x @ w.astype(x.dtype)
+
+
 class Block(nn.Module):
-    """Pre-norm ViT block: LN -> attn -> (LayerScale) -> + ; LN -> MLP -> (LS) -> +."""
+    """Pre-norm ViT block: LN -> attn -> (LayerScale) -> + ; LN -> FFN -> (LS) -> +.
+
+    drop_path_rate enables stochastic depth in training (reference
+    block.py:110-201); shipped configs run with it at 0."""
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     layer_scale: bool = False
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        def residual(h):
+            if self.drop_path_rate > 0.0:
+                rng = self.make_rng("drop_path") if not deterministic else None
+                h = drop_path(h, self.drop_path_rate, deterministic, rng)
+            return h
+
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
         h = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
             h.astype(self.dtype)
         )
         if self.layer_scale:
             h = LayerScale(self.dim, name="ls1")(h)
-        x = x + h
+        x = x + residual(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32))
-        h = Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(h.astype(self.dtype))
+        ffn = (
+            SwiGLUFFN(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")
+            if self.ffn_layer == "swiglu"
+            else Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")
+        )
+        h = ffn(h.astype(self.dtype))
         if self.layer_scale:
             h = LayerScale(self.dim, name="ls2")(h)
-        return x + h
+        return x + residual(h)
 
 
 class TransformerDecoder(nn.Module):

@@ -251,5 +251,24 @@ def pose_auc(errors, thresholds) -> list[float]:
         last_index = np.searchsorted(errors, t)
         r = np.r_[recall[:last_index], recall[last_index - 1]]
         e = np.r_[errors[:last_index], t]
-        aucs.append(float(np.trapz(r, x=e) / t))
+        aucs.append(float(np.trapezoid(r, x=e) / t))
     return aucs
+
+
+def signed_point_line_distance(point: jax.Array, line: jax.Array,
+                               eps: float = 1e-9) -> jax.Array:
+    """Signed distance from (*, N, 2|3) points to (*, N, 3) lines ax+by+c=0
+    (reference utils.py:575-597, kornia-style)."""
+    num = line[..., 0] * point[..., 0] + line[..., 1] * point[..., 1] + line[..., 2]
+    den = jnp.linalg.norm(line[..., :2], axis=-1)
+    return num / (den + eps)
+
+
+def signed_left_to_right_epipolar_distance(pts1: jax.Array, pts2: jax.Array,
+                                           Fm: jax.Array) -> jax.Array:
+    """Distance from right-image points to the epipolar lines of the
+    corresponding left-image points (reference utils.py:599-626)."""
+    if pts1.shape[-1] == 2:
+        pts1 = jnp.concatenate([pts1, jnp.ones_like(pts1[..., :1])], axis=-1)
+    line1_in_2 = pts1 @ jnp.swapaxes(Fm, -2, -1)
+    return signed_point_line_distance(pts2, line1_in_2)

@@ -162,3 +162,27 @@ def test_pose_auc_known_values():
     errs = np.linspace(0.01, 10, 1000)
     auc = pose_auc(errs, [10])[0]
     assert abs(auc - 0.5) < 0.01
+
+
+def test_epipolar_distance_helpers(rng):
+    from roma_tpu.utils.geometry import (
+        signed_left_to_right_epipolar_distance,
+        signed_point_line_distance,
+    )
+
+    # point on the line x = y (line [1, -1, 0]) has distance 0
+    pts = jnp.array([[[1.0, 1.0], [0.0, 1.0]]])
+    lines = jnp.array([[[1.0, -1.0, 0.0], [1.0, -1.0, 0.0]]])
+    d = np.asarray(signed_point_line_distance(pts, lines))
+    np.testing.assert_allclose(d[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(abs(d[0, 1]), 1 / np.sqrt(2), atol=1e-6)
+
+    # perfect correspondences under a known F have zero epipolar distance
+    F = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]]])
+    # F = [t]_x for pure horizontal translation: y1 == y2 satisfies x2^T F x1 = 0
+    pts1 = jnp.asarray(rng.uniform(-1, 1, (1, 20, 2)).astype(np.float32))
+    pts2 = pts1.at[..., 0].add(
+        jnp.asarray(rng.uniform(-0.5, 0.5, (1, 20)).astype(np.float32))
+    )
+    d = np.asarray(signed_left_to_right_epipolar_distance(pts1, pts2, F))
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)

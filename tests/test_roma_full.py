@@ -125,3 +125,56 @@ def test_dinov2_frozen_in_graph(debug_matcher):
         grads["encoder"]["dinov2"], 0.0,
     )
     assert g_dino == 0.0
+
+
+def test_resnet50_pyramid_shapes_and_early_exit(rng):
+    from roma_tpu.models.resnet import ResNet50
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    net = ResNet50(dtype=jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(variables, x)
+    assert set(feats) == {1, 2, 4, 8, 16, 32}
+    for scale, ch in [(2, 64), (4, 256), (8, 512), (16, 1024), (32, 2048)]:
+        f = feats[scale]
+        assert f.shape[1:3] == (64 // scale, 64 // scale), (scale, f.shape)
+        assert f.shape[-1] == ch, (scale, f.shape)
+
+    early = ResNet50(early_exit=True, dtype=jnp.float32)
+    variables = early.init(jax.random.PRNGKey(0), x)
+    feats = early.apply(variables, x)
+    assert set(feats) == {1, 2, 4, 8}
+
+    # replace-stride-with-dilation keeps spatial size from that stage on
+    dil = ResNet50(dilation=(False, True, True), dtype=jnp.float32)
+    variables = dil.init(jax.random.PRNGKey(0), x)
+    feats = dil.apply(variables, x)
+    assert feats[16].shape[1:3] == feats[8].shape[1:3]
+    assert feats[32].shape[1:3] == feats[8].shape[1:3]
+
+
+def test_swiglu_droppath_dinohead(rng):
+    from roma_tpu.models.transformer import Block, DINOHead, drop_path
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)).astype(np.float32))
+    blk = Block(32, 4, ffn_layer="swiglu", drop_path_rate=0.5, dtype=jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    # deterministic: identity drop-path, swiglu path runs
+    y = blk.apply(params, x, deterministic=True)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    # stochastic: needs the drop_path rng and differs from deterministic
+    y2 = blk.apply(params, x, deterministic=False,
+                   rngs={"drop_path": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+    # drop_path keeps expectation: E[out] == x (check masked rows are 0 or x/keep)
+    h = jnp.ones((8, 4))
+    out = np.asarray(drop_path(h, 0.5, False, jax.random.PRNGKey(0)))
+    assert set(np.unique(out.round(4))) <= {0.0, 2.0}
+
+    head = DINOHead(out_dim=16, hidden_dim=24, bottleneck_dim=8)
+    hp = head.init(jax.random.PRNGKey(0), x)
+    logits = head.apply(hp, x)
+    assert logits.shape == (2, 5, 16)
+    # prototypes are unit-norm columns: logits bounded by bottleneck norm (=1)
+    assert np.abs(np.asarray(logits)).max() <= 1.0 + 1e-5
