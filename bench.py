@@ -19,6 +19,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from roma_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_FULL_ROMA_PAIRS_PER_S = 1.0
 BASELINE_TINY_NPU_PAIRS_PER_S = 1000.0 / 73.9  # NOTE.md:147-149, 640x320
 

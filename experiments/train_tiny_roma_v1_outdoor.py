@@ -46,6 +46,13 @@ def main():
     p.add_argument("--total_samples", type=int, default=8_000_000)
     p.add_argument("--eval_every", type=int, default=25_000)
     p.add_argument("--only_test", action="store_true")
+    p.add_argument("--train_fine_matcher", action="store_true",
+                   help="staged training: freeze trunk+coarse, train the fine"
+                        " matcher only (fork recipe, model_tiny2.py:669-684)")
+    p.add_argument("--freeze_xfeat", action="store_true",
+                   help="freeze the XFeat trunk, train both matchers")
+    p.add_argument("--checkpoint", default=None,
+                   help="warm-start from a reference torch .pth (ported)")
     args = p.parse_args()
 
     h, w = RESOLUTIONS[args.train_resolution]
@@ -54,7 +61,23 @@ def main():
     mesh = make_mesh()
     name = "tiny_roma_v1_outdoor"
 
-    state = make_tiny_train_state(jax.random.PRNGKey(cfg.seed), cfg, hw=(h, w))
+    trainable = ("fine_only" if args.train_fine_matcher
+                 else "matchers_only" if args.freeze_xfeat else "all")
+    state = make_tiny_train_state(
+        jax.random.PRNGKey(cfg.seed), cfg, hw=(h, w), trainable=trainable
+    )
+    if args.checkpoint:
+        import torch
+
+        from roma_tpu.models.port import port_tiny_roma
+
+        ported = port_tiny_roma(
+            torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+        )
+        state = state.replace(
+            params=ported["params"],
+            batch_stats=ported.get("batch_stats", state.batch_stats),
+        )
     ckpt = CheckPoint(args.checkpoint_dir, name)
     state = ckpt.load(state)
     state = replicate(state, mesh)

@@ -133,6 +133,7 @@ class TrainConfig:
     grad_clip: float = 0.01
     milestone_frac: float = 0.9   # MultiStepLR milestone at 90% of schedule
     lr_decay: float = 0.2
+    warmup_samples: int = 0       # linear LR warmup (reference hook; unused by shipped recipes)
     checkpoint_every: int = 25_000
     seed: int = 0
     mesh: MeshConfig = MeshConfig()

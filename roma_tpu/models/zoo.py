@@ -11,8 +11,17 @@ return randomly-initialized models when no weights are provided.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
+
+from roma_tpu.utils.profiling import enable_compilation_cache
+
+if not os.environ.get("ROMA_TPU_NO_COMPILE_CACHE"):
+    # on this runtime compiles tunnel to a remote TPU and take minutes;
+    # factories are the entry point of every CLI, so turn the persistent
+    # cache on here (opt out via ROMA_TPU_NO_COMPILE_CACHE=1)
+    enable_compilation_cache()
 
 from roma_tpu.config import RomaConfig, TinyRomaConfig, RefinerConfig
 from roma_tpu.models.matcher import RomaMatcher

@@ -44,7 +44,11 @@ def make_optimizer(cfg: TrainConfig, lr: float) -> optax.GradientTransformation:
     def schedule(count):
         # `count` is optimizer updates; the caller scales lr by batch size so
         # LR-per-sample matches the reference's STEP_SIZE-scaled group LRs
-        return lr * jnp.where(count * cfg.batch_size >= milestone, cfg.lr_decay, 1.0)
+        samples = count * cfg.batch_size
+        mult = jnp.where(samples >= milestone, cfg.lr_decay, 1.0)
+        if cfg.warmup_samples > 0:
+            mult = mult * jnp.minimum(1.0, (samples + cfg.batch_size) / cfg.warmup_samples)
+        return lr * mult
 
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
@@ -57,11 +61,32 @@ def make_tiny_train_state(
     cfg: TrainConfig = TrainConfig(),
     hw: tuple[int, int] = (448, 448),
     model: TinyRoma | None = None,
+    trainable: str = "all",
 ) -> TrainState:
+    """trainable: "all" | "fine_only" (the fork's staged recipe —
+    freeze trunk+coarse, train the fine matcher; model_tiny2.py:669-684
+    freeze_stage1/train_fine_matcher) | "matchers_only" (frozen XFeat trunk,
+    the shipped tiny configuration)."""
     model = model if model is not None else TinyRoma()
     x = jnp.zeros((1, *hw, 3), jnp.float32)
     variables = model.init(rng, x, x, train=False)
     tx = make_optimizer(cfg, cfg.lr_decoder * cfg.batch_size)
+    if trainable != "all":
+        frozen_roots = {
+            "fine_only": {"backbone", "coarse_matcher"},
+            "matchers_only": {"backbone"},
+        }[trainable]
+
+        def label_tree(params):
+            def assign(path, _leaf):
+                root = str(path[0].key) if hasattr(path[0], "key") else ""
+                return "frozen" if root in frozen_roots else "train"
+
+            return jax.tree_util.tree_map_with_path(assign, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_tree
+        )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -133,6 +158,20 @@ def _adamw_with_schedule(cfg: TrainConfig, lr: float) -> optax.GradientTransform
     return optax.adamw(schedule, weight_decay=0.01)
 
 
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    """One EMA step (reference train_k_steps ema_model.update() hook,
+    train/train.py:59-60). Jit-safe pure function."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                        ema_params, params)
+
+
+def init_ema(params: Any) -> Any:
+    """Materialize an EMA tree as fresh device buffers. Required because
+    make_train_step donates the state: an EMA tree that merely aliases
+    `state.params` would reference deleted buffers after the first step."""
+    return jax.tree.map(lambda p: p + jnp.zeros((), p.dtype), params)
+
+
 def train_k_steps(
     state: TrainState,
     loader,
@@ -140,16 +179,27 @@ def train_k_steps(
     k: int,
     logger=None,
     device_put=None,
-) -> TrainState:
+    ema_params: Any = None,
+    ema_decay: float = 0.999,
+) -> TrainState | tuple[TrainState, Any]:
     """Run k optimizer steps off a batch iterator (reference
-    train/train.py:42-66 without the GradScaler machinery)."""
+    train/train.py:42-66 without the GradScaler machinery). Warmup lives in
+    the optax schedule (make_optimizer), not a separate hook. Pass
+    `ema_params` to also maintain an exponential moving average of params;
+    the (state, ema_params) pair is then returned."""
+    use_ema = ema_params is not None
+    ema_step = jax.jit(ema_update, static_argnames="decay") if use_ema else None
     for _ in range(k):
         batch = next(loader)
         if device_put is not None:
             batch = device_put(batch)
         state, metrics = step_fn(state, batch)
+        if use_ema:
+            ema_params = ema_step(ema_params, state.params, decay=ema_decay)
         if logger is not None:
             logger.log(int(state.step), metrics)
+    if use_ema:
+        return state, ema_params
     return state
 
 

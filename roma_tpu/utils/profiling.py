@@ -14,11 +14,33 @@ import dataclasses
 import time
 
 import jax
-import numpy as np
 
 # v5e-class defaults; override per deployment
 PEAK_FLOPS_BF16 = 394e12 / 2
 PEAK_HBM_BYTES_PER_S = 819e9
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache. On the remote-TPU runtime used here
+    compiles tunnel through the network and take minutes; the on-disk cache
+    cuts repeat startup (bench, eval CLIs, profilers) to seconds."""
+    import os
+
+    if path is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo_root, ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def _readback_scalar(out) -> float:
+    """Force execution with a 4-byte readback (block_until_ready can return
+    early here; never pull full arrays over the tunnel)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
 
 
 @contextlib.contextmanager
@@ -34,13 +56,11 @@ def trace(log_dir: str):
 def timed(fn, *args, iters: int = 5, warmup: int = 1) -> float:
     """Best wall-clock seconds per call, forcing completion via readback."""
     for _ in range(warmup):
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+        _ = _readback_scalar(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+        _ = _readback_scalar(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -86,3 +86,65 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_ema_update_and_warmup_schedule():
+    from roma_tpu.config import TrainConfig
+    from roma_tpu.train.train import ema_update, init_ema, make_optimizer
+
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    ema = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.1, atol=1e-6)
+    # init_ema must materialize new buffers (donation safety)
+    fresh = init_ema(params)
+    assert fresh["w"] is not params["w"]
+    np.testing.assert_allclose(np.asarray(fresh["w"]), 1.0)
+
+    cfg = TrainConfig(batch_size=4, steps=1000, warmup_samples=40,
+                      milestone_frac=0.9)
+    tx = make_optimizer(cfg, lr=1.0)
+    p = {"w": jnp.ones(3)}
+    state = tx.init(p)
+    g = {"w": jnp.full(3, 1e-3)}
+    # first update: warmup multiplier = batch/warmup = 0.1 of full LR
+    deltas = []
+    for _ in range(12):
+        upd, state = tx.update(g, state, p)
+        deltas.append(float(jnp.abs(upd["w"]).max()))
+    # warmup ramps over first 10 updates then plateaus
+    assert deltas[0] < deltas[4] < deltas[9]
+    assert abs(deltas[10] - deltas[11]) / deltas[11] < 1e-3
+
+
+def test_staged_training_freezes_trunk_and_coarse():
+    from roma_tpu.train.train import make_tiny_train_state, make_train_step
+
+    cfg = TrainConfig(batch_size=2, steps=1000)
+    state = make_tiny_train_state(
+        jax.random.PRNGKey(0), cfg, hw=(64, 64), trainable="fine_only"
+    )
+    step = make_train_step()
+    rng = np.random.default_rng(0)
+    h = w = 64
+    K = np.array([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]], np.float32)
+    batch = {
+        "im_A": jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)),
+        "im_B": jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)),
+        "im_A_depth": jnp.ones((2, h, w), jnp.float32) * 2,
+        "im_B_depth": jnp.ones((2, h, w), jnp.float32) * 2,
+        "K1": jnp.asarray(np.stack([K, K])),
+        "K2": jnp.asarray(np.stack([K, K])),
+        "T_1to2": jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2)),
+    }
+    before = jax.tree.map(lambda x: np.asarray(x), state.params)
+    new_state, _ = step(state, batch)
+    after = jax.tree.map(lambda x: np.asarray(x), new_state.params)
+
+    def max_delta(sub_b, sub_a):
+        leaves_b, leaves_a = jax.tree.leaves(sub_b), jax.tree.leaves(sub_a)
+        return max(float(np.abs(b - a).max()) for b, a in zip(leaves_b, leaves_a))
+
+    assert max_delta(before["backbone"], after["backbone"]) == 0.0
+    assert max_delta(before["coarse_matcher"], after["coarse_matcher"]) == 0.0
+    assert max_delta(before["fine_matcher"], after["fine_matcher"]) > 0.0
