@@ -250,13 +250,58 @@ class RomaMatcher:
                 flow=flow, certainty=cert, scale_factor=sf, train=False,
             )
         )
+        # one jitted postprocess (attenuation + sigmoid + oob mask + warp
+        # assembly): ~12 eager dispatches otherwise, each a network
+        # round-trip on the remote-TPU runtime
+        self._post = jax.jit(
+            self._postprocess, static_argnames=("hs", "ws", "symmetric", "attenuate")
+        )
+        # fused resize+normalize for both images in one dispatch
+        self._prep = jax.jit(self._preprocess, static_argnames=("hs", "ws"))
+
+    @staticmethod
+    def _preprocess(im_a, im_b, *, hs, ws):
+        x = jnp.concatenate([im_a, im_b], axis=0)
+        x = (resize_bicubic(x, (hs, ws)) - IMAGENET_MEAN) / IMAGENET_STD
+        B = im_a.shape[0]
+        return x[:B], x[B:]
+
+    @staticmethod
+    def _postprocess(flow, certainty, cert16, *, hs, ws, symmetric, attenuate):
+        """Final-scale outputs -> (warp, certainty) (matcher.py:653-725)."""
+        B = flow.shape[0] // 2 if symmetric else flow.shape[0]
+        if attenuate:
+            lrc = interpolate_bilinear(cert16, (hs, ws))
+            certainty = certainty - 0.5 * lrc * (lrc < 0)
+        certainty = jax.nn.sigmoid(certainty[..., 0])
+        # zero certainty for out-of-bounds targets, clamp flow (matcher.py:708-711)
+        oob = jnp.any(jnp.abs(flow) > 1, axis=-1)
+        certainty = jnp.where(oob, 0.0, certainty)
+        flow = jnp.clip(flow, -1, 1)
+
+        grid = jnp.broadcast_to(coord_grid(hs, ws), (B, hs, ws, 2))
+        if symmetric:
+            a_to_b, b_to_a = flow[:B], flow[B:]
+            q_warp = jnp.concatenate([grid, a_to_b], axis=-1)
+            s_warp = jnp.concatenate([b_to_a, grid], axis=-1)
+            warp = jnp.concatenate([q_warp, s_warp], axis=2)  # side-by-side in W
+            certainty = jnp.concatenate([certainty[:B], certainty[B:]], axis=2)
+        else:
+            warp = jnp.concatenate([grid, flow], axis=-1)
+        return warp, certainty
 
     @staticmethod
     def init(key: jax.Array, cfg: RomaConfig = RomaConfig()):
         model = RomaModel(cfg)
         h, w = 224, 224  # shapes don't matter for param shapes; init small
         x = jnp.zeros((1, h, w, 3), jnp.float32)
-        params = model.init(key, x, x, symmetric=False, train=False)
+        # one jitted call: eager flax init dispatches hundreds of tiny ops,
+        # each a network round-trip on the remote-TPU runtime (~4 min); a
+        # single compiled graph (persistent-cached) takes seconds
+        init_fn = jax.jit(
+            lambda k, a, b: model.init(k, a, b, symmetric=False, train=False)
+        )
+        params = init_fn(key, x, x)
         return RomaMatcher(params, cfg)
 
     @staticmethod
@@ -279,25 +324,16 @@ class RomaMatcher:
             )
         if im_a.ndim == 3:
             im_a, im_b = im_a[None], im_b[None]
-        B = im_a.shape[0]
         cfg = self.cfg
         hs, ws = cfg.coarse_resolution
-        a = self.normalize(resize_bicubic(im_a, (hs, ws)))
-        b = self.normalize(resize_bicubic(im_b, (hs, ws)))
+        a, b = self._prep(im_a, im_b, hs=hs, ws=ws)
         corresps = self._fwd(self.params, a, b)
+        cert16 = corresps[16]["certainty"] if cfg.attenuate_cert else None
 
         if cfg.upsample_preds:
             hs, ws = cfg.upsample_resolution
-
-        low_res_certainty = None
-        if cfg.attenuate_cert:
-            lrc = interpolate_bilinear(corresps[16]["certainty"], (hs, ws))
-            low_res_certainty = 0.5 * lrc * (lrc < 0)
-
-        if cfg.upsample_preds:
             finest = corresps[1]
-            a2 = self.normalize(resize_bicubic(im_a, (hs, ws)))
-            b2 = self.normalize(resize_bicubic(im_b, (hs, ws)))
+            a2, b2 = self._prep(im_a, im_b, hs=hs, ws=ws)
             sf = float(np.sqrt(
                 (hs * ws) / (cfg.coarse_resolution[0] * cfg.coarse_resolution[1])
             ))
@@ -305,25 +341,12 @@ class RomaMatcher:
                 self.params, a2, b2, finest["flow"], finest["certainty"], sf
             )
 
-        flow = corresps[1]["flow"]
-        certainty = corresps[1]["certainty"]
-        if low_res_certainty is not None:
-            certainty = certainty - low_res_certainty
-        certainty = jax.nn.sigmoid(certainty[..., 0])
-        # zero certainty for out-of-bounds targets, clamp flow (matcher.py:708-711)
-        oob = jnp.any(jnp.abs(flow) > 1, axis=-1)
-        certainty = jnp.where(oob, 0.0, certainty)
-        flow = jnp.clip(flow, -1, 1)
-
-        grid = jnp.broadcast_to(coord_grid(hs, ws), (B, hs, ws, 2))
-        if cfg.symmetric:
-            a_to_b, b_to_a = flow[:B], flow[B:]
-            q_warp = jnp.concatenate([grid, a_to_b], axis=-1)
-            s_warp = jnp.concatenate([b_to_a, grid], axis=-1)
-            warp = jnp.concatenate([q_warp, s_warp], axis=2)  # side-by-side in W
-            certainty = jnp.concatenate([certainty[:B], certainty[B:]], axis=2)
-        else:
-            warp = jnp.concatenate([grid, flow], axis=-1)
+        if cert16 is None:
+            cert16 = jnp.zeros_like(corresps[1]["certainty"][:, :1, :1])
+        warp, certainty = self._post(
+            corresps[1]["flow"], corresps[1]["certainty"], cert16,
+            hs=hs, ws=ws, symmetric=cfg.symmetric, attenuate=cfg.attenuate_cert,
+        )
         if batched:
             return warp, certainty
         return warp[0], certainty[0]

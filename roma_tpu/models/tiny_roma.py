@@ -173,7 +173,9 @@ class TinyRomaMatcher:
     def init(key: jax.Array, cfg: TinyRomaConfig = TinyRomaConfig(), hw=(448, 448)):
         model = TinyRoma(cfg)
         x = jnp.zeros((1, *hw, 3), jnp.float32)
-        params = model.init(key, x, x, train=False)
+        # jit the init: one compiled graph instead of hundreds of eager ops
+        # (each a network round-trip on the remote-TPU runtime)
+        params = jax.jit(lambda k, a, b: model.init(k, a, b, train=False))(key, x, x)
         return TinyRomaMatcher(params, cfg)
 
     def preprocess(self, im: jax.Array) -> jax.Array:

@@ -69,7 +69,7 @@ def make_tiny_train_state(
     the shipped tiny configuration)."""
     model = model if model is not None else TinyRoma()
     x = jnp.zeros((1, *hw, 3), jnp.float32)
-    variables = model.init(rng, x, x, train=False)
+    variables = jax.jit(lambda k, a, b: model.init(k, a, b, train=False))(rng, x, x)
     tx = make_optimizer(cfg, cfg.lr_decoder * cfg.batch_size)
     if trainable != "all":
         frozen_roots = {
@@ -115,7 +115,9 @@ def make_roma_train_state(
     roma_cfg = roma_cfg or RomaConfig()
     model = RomaModel(roma_cfg)
     x = jnp.zeros((1, *hw, 3), jnp.float32)
-    variables = model.init(rng, x, x, symmetric=False, train=False)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, symmetric=False, train=False)
+    )(rng, x, x)
 
     def label_tree(params):
         def assign(path, _leaf):
