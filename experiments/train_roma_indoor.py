@@ -21,7 +21,12 @@ from roma_tpu.datasets.loader import PairLoader, weighted_pair_iterator
 from roma_tpu.datasets.megadepth import MegadepthBuilder
 from roma_tpu.datasets.scannet import ScanNetBuilder
 from roma_tpu.losses.robust_loss import RobustLossConfig, robust_loss
-from roma_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from roma_tpu.parallel.mesh import (
+    global_batch_from_host_local,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+)
 from roma_tpu.train.checkpoint import CheckPoint
 from roma_tpu.train.logging import MetricsLogger
 from roma_tpu.train.train import make_roma_train_state, make_train_step
@@ -40,6 +45,7 @@ def main():
     args = p.parse_args()
 
     hw = (args.train_resolution, args.train_resolution)
+    proc, nproc = initialize_distributed()  # no-op single-host
     cfg = TrainConfig(batch_size=args.batch_size, steps=args.total_samples)
     mesh = make_mesh()
     name = "roma_indoor"
@@ -66,7 +72,7 @@ def main():
     mega_loader = PairLoader(
         weighted_pair_iterator(
             mega_scenes, mega.weight_scenes(mega_scenes, alpha=0.75),
-            cfg.batch_size, seed=cfg.seed, host_id=jax.process_index(),
+            cfg.batch_size // nproc, seed=cfg.seed, host_id=proc,
         ),
         prefetch=4, num_threads=4,
     )
@@ -77,7 +83,7 @@ def main():
     scan_loader = PairLoader(
         weighted_pair_iterator(
             scan_scenes, scannet.weight_scenes(scan_scenes, alpha=0.75),
-            cfg.batch_size, seed=cfg.seed + 1, host_id=jax.process_index(),
+            cfg.batch_size // nproc, seed=cfg.seed + 1, host_id=proc,
         ),
         prefetch=4, num_threads=4,
     )
@@ -88,7 +94,7 @@ def main():
     for batch in mixed:
         if int(state.step) >= args.total_samples:
             break
-        state, metrics = step(state, shard_batch(batch, mesh))
+        state, metrics = step(state, global_batch_from_host_local(batch, mesh))
         logger.log(int(state.step), metrics)
         if int(state.step) >= next_ckpt:
             ckpt.save(state)

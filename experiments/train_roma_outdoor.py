@@ -22,7 +22,12 @@ from roma_tpu.config import RomaConfig, TrainConfig
 from roma_tpu.datasets.loader import PairLoader, weighted_pair_iterator
 from roma_tpu.datasets.megadepth import MegadepthBuilder
 from roma_tpu.losses.robust_loss import RobustLossConfig, robust_loss
-from roma_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from roma_tpu.parallel.mesh import (
+    global_batch_from_host_local,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+)
 from roma_tpu.train.checkpoint import CheckPoint
 from roma_tpu.train.logging import MetricsLogger
 from roma_tpu.train.train import make_roma_train_state, make_train_step, train_k_steps
@@ -41,6 +46,7 @@ def main():
 
     hw = (args.train_resolution, args.train_resolution)
     assert hw[0] % 14 == 0
+    proc, nproc = initialize_distributed()  # no-op single-host
     cfg = TrainConfig(batch_size=args.batch_size, steps=args.total_samples)
     mesh = make_mesh()
     name = "roma_outdoor"
@@ -70,7 +76,7 @@ def main():
     ws = mega.weight_scenes(scenes, alpha=0.75)
     loader = PairLoader(
         weighted_pair_iterator(
-            scenes, ws, cfg.batch_size, seed=cfg.seed, host_id=jax.process_index()
+            scenes, ws, cfg.batch_size // nproc, seed=cfg.seed, host_id=proc
         ),
         prefetch=4, num_threads=8,
     )
@@ -79,7 +85,7 @@ def main():
     while int(state.step) < args.total_samples:
         state = train_k_steps(
             state, loader, step, k, logger,
-            device_put=lambda b: shard_batch(b, mesh),
+            device_put=lambda b: global_batch_from_host_local(b, mesh),
         )
         ckpt.save(state)
         print(f"step {int(state.step)}: checkpointed")

@@ -25,7 +25,12 @@ from roma_tpu.config import TrainConfig
 from roma_tpu.datasets.loader import PairLoader, weighted_pair_iterator
 from roma_tpu.datasets.megadepth import MegadepthBuilder
 from roma_tpu.losses.robust_loss import RobustLossConfig, tiny_robust_loss
-from roma_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from roma_tpu.parallel.mesh import (
+    global_batch_from_host_local,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+)
 from roma_tpu.train.checkpoint import CheckPoint
 from roma_tpu.train.logging import MetricsLogger
 from roma_tpu.train.train import make_tiny_train_state, make_train_step, train_k_steps
@@ -55,6 +60,7 @@ def main():
                    help="warm-start from a reference torch .pth (ported)")
     args = p.parse_args()
 
+    proc, nproc = initialize_distributed()  # no-op single-host
     h, w = RESOLUTIONS[args.train_resolution]
     h, w = (h // 32) * 32, (w // 32) * 32  # tiny preprocessing contract
     cfg = TrainConfig(batch_size=args.batch_size, steps=args.total_samples)
@@ -98,9 +104,12 @@ def main():
         use_horizontal_flip_aug=True,
     )
     ws = mega.weight_scenes(scenes, alpha=0.75)
+    # each host loads only its slice of the global batch; the mesh-global
+    # array is assembled in global_batch_from_host_local (DDP-sampler
+    # equivalent, reference megadepth.py:52-57 rank striding)
     loader = PairLoader(
         weighted_pair_iterator(
-            scenes, ws, cfg.batch_size, seed=cfg.seed, host_id=jax.process_index()
+            scenes, ws, cfg.batch_size // nproc, seed=cfg.seed, host_id=proc
         ),
         prefetch=4, num_threads=8,
     )
@@ -109,7 +118,7 @@ def main():
     while int(state.step) < args.total_samples and not args.only_test:
         state = train_k_steps(
             state, loader, step, k, logger,
-            device_put=lambda b: shard_batch(b, mesh),
+            device_put=lambda b: global_batch_from_host_local(b, mesh),
         )
         ckpt.save(state)
         print(f"step {int(state.step)}: checkpointed")

@@ -148,3 +148,23 @@ def test_staged_training_freezes_trunk_and_coarse():
     assert max_delta(before["backbone"], after["backbone"]) == 0.0
     assert max_delta(before["coarse_matcher"], after["coarse_matcher"]) == 0.0
     assert max_delta(before["fine_matcher"], after["fine_matcher"]) > 0.0
+
+
+def test_multihost_helpers_single_process(rng):
+    """initialize_distributed is a no-op without a coordinator; the
+    host-local->global assembler equals shard_batch in a single process."""
+    from roma_tpu.parallel.mesh import (
+        global_batch_from_host_local,
+        initialize_distributed,
+    )
+
+    proc, nproc = initialize_distributed()
+    assert (proc, nproc) == (0, 1)
+
+    mesh = make_mesh(n_data=8)
+    batch = make_batch(rng, b=8)
+    got = global_batch_from_host_local(batch, mesh)
+    want = shard_batch(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+        assert got[k].sharding == want[k].sharding
