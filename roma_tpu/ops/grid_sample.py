@@ -7,6 +7,21 @@ lerp — the integer-gather recipe the reference fork itself validated on NPU
 (tiny.py:25-76 ``gather_bilinear``) — so XLA lowers it to efficient dynamic
 gathers with no scatter or host fallback.
 
+Two gather formulations, chosen by channel width:
+
+- per-corner: four row gathers of (B, HW, C) — the baseline, robust at any C.
+- corner-packed (16 <= C <= 256, zeros padding): the four bilinear corners
+  are pre-packed channel-wise into one (H+1, W+1, 4C) map, so sampling is a
+  SINGLE take_along_axis row per output pixel. TPU gather cost scales with
+  gathered row count at these widths, measuring ~2x faster at the mid-scale
+  refiner shapes (432^2 x 64ch: 47 -> 21 ms on v5e).
+
+NOTE: formulations based on lax.gather with multi-element slice_sizes
+((1,2,2C) row-pairs / (2,2,C) patches) measured up to 2x faster again at
+C<=9, but nondeterministically FAULT the TPU runtime when embedded in large
+compiled graphs at batch >= 8 images (v5e, libtpu 2026-xx); only
+take_along_axis single-row gathers are used here. Do not "optimize" back.
+
 Conventions:
 - channels-last features ``(B, H, W, C)``
 - grid ``(B, ..., 2)`` with ``(x, y)`` in [-1, 1] normalized coordinates
@@ -28,140 +43,55 @@ def _gather_hw(feat_flat: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(feat_flat, idx[..., None], axis=1)
 
 
-def _grid_sample_quad(feat: jax.Array, grid: jax.Array) -> jax.Array:
-    """Bilinear sample via ONE gather row per output pixel (zeros padding).
-
-    TPU XLA gathers cost ~13 cycles per gathered *row* nearly independent of
-    row width (measured: 4x(B,HW,C<=64) corner gathers run at ~2 GB/s
-    effective). Packing both source y-rows channel-wise puts all 4 bilinear
-    corners in one (1,2,2C) slice = one contiguous row, which measures ~2x
-    faster than per-corner gathers at the fine-scale shapes (864^2 x 9ch:
-    115ms -> 57ms; 432^2 x 64ch: 47ms -> 24ms on v5e)."""
-    from jax import lax
-
+def _coords(feat, grid):
     B, H, W, C = feat.shape
-    batch_shape = grid.shape[1:-1]
     g = grid.reshape(B, -1, 2)
-    compute_dtype = jnp.promote_types(feat.dtype, jnp.float32)
-    gx = (g[..., 0].astype(compute_dtype) + 1.0) * (W / 2) - 0.5
-    gy = (g[..., 1].astype(compute_dtype) + 1.0) * (H / 2) - 0.5
+    cd = jnp.promote_types(feat.dtype, jnp.float32)
+    gx = (g[..., 0].astype(cd) + 1.0) * (W / 2) - 0.5
+    gy = (g[..., 1].astype(cd) + 1.0) * (H / 2) - 0.5
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    wx1 = gx - x0
-    wy1 = gy - y0
-    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), gx - x0, gy - y0
 
+
+def _grid_sample_packed(feat: jax.Array, grid: jax.Array) -> jax.Array:
+    """One gather row per pixel via 4-corner channel packing (zeros pad)."""
+    B, H, W, C = feat.shape
+    batch_shape = grid.shape[1:-1]
+    x0i, y0i, wx1, wy1 = _coords(feat, grid)
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
     pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # feat2[y, x] = concat(pad[y, x], pad[y+1, x]): both corner rows in one
-    feat2 = jnp.concatenate([pad[:, :-1], pad[:, 1:]], axis=-1)  # (B,H+1,W+2,2C)
+    # f4[y, x] = (p[y,x], p[y,x+1], p[y+1,x], p[y+1,x+1]) in padded coords
+    f4 = jnp.concatenate(
+        [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(B, (H + 1) * (W + 1), 4 * C)
     x0c = jnp.clip(x0i, -1, W - 1) + 1
     y0c = jnp.clip(y0i, -1, H - 1) + 1
-    starts = jnp.stack([y0c, x0c], axis=-1)  # (B,L,2)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-
-    def one(img, st):
-        return lax.gather(
-            img, st, dnums, slice_sizes=(1, 2, 2 * C),
-            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
-
-    p = jax.vmap(one)(feat2, starts)[:, :, 0]  # (B,L,2,2C)
-    # far-OOB pixels: every corner invalid -> zero all weights (near-OOB
+    idx = y0c * (W + 1) + x0c
+    p = jnp.take_along_axis(f4, idx[..., None], axis=1, mode="promise_in_bounds")
+    # far-OOB pixels: all corners invalid -> zero the weights (near-OOB
     # corners read the zero pad, matching per-corner zeros semantics)
     inb = ((x0i >= -1) & (x0i < W) & (y0i >= -1) & (y0i < H)).astype(wx0.dtype)
     wx0, wx1 = wx0 * inb, wx1 * inb
     dt = feat.dtype
     out = (
-        p[:, :, 0, :C] * (wx0 * wy0)[..., None].astype(dt)
-        + p[:, :, 1, :C] * (wx1 * wy0)[..., None].astype(dt)
-        + p[:, :, 0, C:] * (wx0 * wy1)[..., None].astype(dt)
-        + p[:, :, 1, C:] * (wx1 * wy1)[..., None].astype(dt)
+        p[..., :C] * (wx0 * wy0)[..., None].astype(dt)
+        + p[..., C : 2 * C] * (wx1 * wy0)[..., None].astype(dt)
+        + p[..., 2 * C : 3 * C] * (wx0 * wy1)[..., None].astype(dt)
+        + p[..., 3 * C :] * (wx1 * wy1)[..., None].astype(dt)
     )
     return out.reshape(B, *batch_shape, C)
 
 
-def _grid_sample_patch(feat: jax.Array, grid: jax.Array) -> jax.Array:
-    """Bilinear sample via one (2,2,C) patch gather per pixel (zeros padding).
-
-    2 gather rows per pixel instead of 4 corner rows; used for wide channels
-    where the quad row-packing's doubled feature copy stops paying off (and
-    where 2C-wide packed rows have shown rare TPU-worker faults)."""
-    from jax import lax
-
+def _grid_sample_corners(
+    feat: jax.Array, grid: jax.Array, padding_mode: str
+) -> jax.Array:
     B, H, W, C = feat.shape
     batch_shape = grid.shape[1:-1]
-    g = grid.reshape(B, -1, 2)
-    compute_dtype = jnp.promote_types(feat.dtype, jnp.float32)
-    gx = (g[..., 0].astype(compute_dtype) + 1.0) * (W / 2) - 0.5
-    gy = (g[..., 1].astype(compute_dtype) + 1.0) * (H / 2) - 0.5
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    wx1 = gx - x0
-    wy1 = gy - y0
+    x0i, y0i, wx1, wy1 = _coords(feat, grid)
     wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    pad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    x0c = jnp.clip(x0i, -1, W - 1) + 1
-    y0c = jnp.clip(y0i, -1, H - 1) + 1
-    starts = jnp.stack([y0c, x0c], axis=-1)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-
-    def one(img, st):
-        return lax.gather(
-            img, st, dnums, slice_sizes=(2, 2, C),
-            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
-
-    p = jax.vmap(one)(pad, starts)  # (B,L,2,2,C)
-    inb = ((x0i >= -1) & (x0i < W) & (y0i >= -1) & (y0i < H)).astype(wx0.dtype)
-    wx0, wx1 = wx0 * inb, wx1 * inb
-    dt = feat.dtype
-    out = (
-        p[:, :, 0, 0] * (wx0 * wy0)[..., None].astype(dt)
-        + p[:, :, 0, 1] * (wx1 * wy0)[..., None].astype(dt)
-        + p[:, :, 1, 0] * (wx0 * wy1)[..., None].astype(dt)
-        + p[:, :, 1, 1] * (wx1 * wy1)[..., None].astype(dt)
-    )
-    return out.reshape(B, *batch_shape, C)
-
-
-@functools.partial(jax.jit, static_argnames=("padding_mode",))
-def grid_sample(feat: jax.Array, grid: jax.Array, padding_mode: str = "zeros") -> jax.Array:
-    """Bilinear sample `feat` (B,H,W,C) at `grid` (B,...,2) -> (B,...,C)."""
-    if padding_mode not in ("zeros", "border"):
-        raise ValueError(f"unsupported padding_mode: {padding_mode}")
-    B, H, W, C = feat.shape
-    if padding_mode == "zeros":
-        # row-packed single-gather path for narrow channels, patch gather for
-        # wide ones (measured crossover on v5e; see variant docstrings)
-        if C <= 128:
-            return _grid_sample_quad(feat, grid)
-        return _grid_sample_patch(feat, grid)
-    batch_shape = grid.shape[1:-1]
-    g = grid.reshape(B, -1, 2)
-    compute_dtype = jnp.promote_types(feat.dtype, jnp.float32)
-    gx = (g[..., 0].astype(compute_dtype) + 1.0) * (W / 2) - 0.5
-    gy = (g[..., 1].astype(compute_dtype) + 1.0) * (H / 2) - 0.5
-
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    wx1 = gx - x0
-    wy1 = gy - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
+    feat_flat = feat.reshape(B, H * W, C)
 
     def corner(xi, yi, wgt):
         if padding_mode == "zeros":
@@ -172,14 +102,24 @@ def grid_sample(feat: jax.Array, grid: jax.Array, padding_mode: str = "zeros") -
         vals = _gather_hw(feat_flat, yc * W + xc)
         return vals * wgt[..., None].astype(feat_flat.dtype)
 
-    feat_flat = feat.reshape(B, H * W, C)
     out = (
         corner(x0i, y0i, wx0 * wy0)
-        + corner(x1i, y0i, wx1 * wy0)
-        + corner(x0i, y1i, wx0 * wy1)
-        + corner(x1i, y1i, wx1 * wy1)
+        + corner(x0i + 1, y0i, wx1 * wy0)
+        + corner(x0i, y0i + 1, wx0 * wy1)
+        + corner(x0i + 1, y0i + 1, wx1 * wy1)
     )
     return out.reshape(B, *batch_shape, C)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode",))
+def grid_sample(feat: jax.Array, grid: jax.Array, padding_mode: str = "zeros") -> jax.Array:
+    """Bilinear sample `feat` (B,H,W,C) at `grid` (B,...,2) -> (B,...,C)."""
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    C = feat.shape[-1]
+    if padding_mode == "zeros" and 16 <= C <= 256:
+        return _grid_sample_packed(feat, grid)
+    return _grid_sample_corners(feat, grid, padding_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("padding_mode",))
