@@ -27,29 +27,103 @@ from roma_tpu.models.layers import torch_padding
 from roma_tpu.ops.corr import coord_grid
 from roma_tpu.ops.grid_sample import grid_sample
 from roma_tpu.ops.local_corr import local_correlation
+from roma_tpu.ops.pallas.depthwise import dw5x5_affine_relu
+
+
+class _ConvParams(nn.Module):
+    """Registers conv kernel/bias params (same names/shapes as nn.Conv) so
+    DWBlock can route the math through a fused kernel at inference."""
+
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Registers BatchNorm params/stats (same names as nn.BatchNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (self.features,)
+        )
+        return scale, bias, mean, var
 
 
 class DWBlock(nn.Module):
-    """Depthwise-separable block: grouped k=5 conv -> BN -> ReLU -> 1x1 conv."""
+    """Depthwise-separable block: grouped k=5 conv -> BN -> ReLU -> 1x1 conv.
+
+    At inference the BatchNorm affine is folded into the conv epilogue and
+    the depthwise conv + affine + ReLU run as one fused op
+    (`roma_tpu.ops.pallas.depthwise.dw5x5_affine_relu`: a Pallas kernel for
+    narrow channels, XLA's own near-roofline conv otherwise). Training keeps
+    the unfused path with live batch statistics (flax BatchNorm semantics:
+    biased variance, running stats ra = m*ra + (1-m)*batch)."""
 
     features: int
     kernel_size: int = 5
     depthwise: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        groups = x.shape[-1] if self.depthwise else 1
-        x = nn.Conv(
-            self.features, (self.kernel_size, self.kernel_size),
-            padding=torch_padding(self.kernel_size), feature_group_count=groups,
-            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-5,
-            dtype=jnp.float32, name="norm",
-        )(x.astype(jnp.float32))
-        x = nn.relu(x).astype(self.dtype)
+        in_c = x.shape[-1]
+        groups = in_c if self.depthwise else 1
+        k = self.kernel_size
+        kernel, cbias = _ConvParams(
+            (k, k, in_c // groups, self.features), name="conv1"
+        )()
+        scale, bbias, ra_mean, ra_var = _BNParams(self.features, name="norm")()
+
+        fused_ok = (
+            not train
+            and self.depthwise
+            and k == 5
+            and in_c == self.features
+            and not self.is_mutable_collection("batch_stats")
+        )
+        if fused_ok:
+            inv = scale / jnp.sqrt(ra_var.value + self.bn_eps)
+            x = dw5x5_affine_relu(
+                x.astype(self.dtype),
+                kernel[:, :, 0, :].astype(self.dtype),
+                inv,
+                (cbias - ra_mean.value) * inv + bbias,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                torch_padding(k), feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + cbias.astype(self.dtype)
+            y = y.astype(jnp.float32)
+            if train:
+                axes = tuple(range(y.ndim - 1))
+                mean = jnp.mean(y, axes)
+                var = jnp.mean(jnp.square(y), axes) - jnp.square(mean)
+                if not self.is_initializing() and self.is_mutable_collection(
+                    "batch_stats"
+                ):
+                    m = self.bn_momentum
+                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                    ra_var.value = m * ra_var.value + (1 - m) * var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            y = (y - mean) * (scale / jnp.sqrt(var + self.bn_eps)) + bbias
+            x = nn.relu(y).astype(self.dtype)
         return nn.Conv(
             self.features, (1, 1), use_bias=True, dtype=self.dtype,
             param_dtype=jnp.float32, name="conv2",

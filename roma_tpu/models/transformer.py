@@ -19,8 +19,47 @@ import jax.numpy as jnp
 from roma_tpu.utils.geometry import get_grid
 
 
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Flash attention on (B, N, H, d) via the Pallas TPU kernel.
+
+    XLA's unfused attention materializes the (B, H, N, N) logits in HBM —
+    at RoMa's 1601 coarse tokens that is ~6 ms/block on v5e, 92% of each
+    ViT block (the entire DINOv2 encode is 24 such blocks). The streaming
+    kernel never leaves VMEM for the logits. Sequences are padded to a
+    256-multiple with segment ids masking pad<->real attention (padded
+    query rows are sliced off afterwards)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, N, H, d = q.shape
+    Np = -(-N // 256) * 256
+    pad = Np - N
+    qp, kp, vp = (
+        jnp.moveaxis(jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0))), 2, 1)
+        for t in (q, k, v)
+    )
+    seg = jnp.broadcast_to(
+        (jnp.arange(Np) >= N).astype(jnp.int32), (B, Np)
+    )
+    block = 256
+    sizes = fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = fa.flash_attention(
+        qp, kp, vp, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0 / (d ** 0.5), block_sizes=sizes,
+    )
+    return jnp.moveaxis(out, 1, 2)[:, :N]
+
+
 class Attention(nn.Module):
-    """Standard MHA with fused qkv projection (DINOv2 layout, port-ready)."""
+    """Standard MHA with fused qkv projection (DINOv2 layout, port-ready).
+
+    Routes through the Pallas flash-attention kernel on TPU (replacing the
+    reference's xformers memory_efficient_attention, attention.py:66-81);
+    falls back to `jax.nn.dot_product_attention` off-TPU (CPU test mesh)."""
 
     dim: int
     num_heads: int
@@ -36,7 +75,11 @@ class Attention(nn.Module):
             param_dtype=jnp.float32, name="qkv",
         )(x)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, H, C // H), 3, axis=2)
-        out = jax.nn.dot_product_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+        if jax.default_backend() == "tpu":
+            out = _flash_attention(q, k, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, N, C)
         return nn.Dense(
             C, dtype=self.dtype, param_dtype=jnp.float32, name="proj"

@@ -1,0 +1,222 @@
+"""Fused depthwise 5x5 conv + affine (folded BatchNorm) + ReLU, Pallas/TPU.
+
+The ConvRefiner stacks (reference matcher.py:77-103: Conv2d k=5
+groups=channels -> BatchNorm -> ReLU -> 1x1 conv, x9 blocks x9 scales) spend
+most of full RoMa's decode time in the depthwise convs: XLA lowers a NHWC
+feature_group_count=C conv at ~0.8 TF/s on v5e (6.8 ms at 216^2 x569),
+~25x off the VPU roofline. This kernel computes the 25 taps as shifted
+multiply-accumulates from a VMEM-resident row slab instead:
+
+  out[h, w, c] = relu( (sum_{dy,dx} x[h+dy, w+dx, c] * k[dy, dx, c])
+                       * scale[c] + shift[c] )
+
+with `scale`/`shift` the inference-folded BatchNorm affine (+ conv bias).
+Accumulation is fp32 (matching XLA's conv accumulator); inputs/outputs bf16.
+
+Grid: (B, H/TH) row-bands. Each program DMAs its (TH+4, W+4, C) halo slab
+HBM->VMEM and runs the taps on the VPU. Two layouts, chosen by C:
+- C >= 64: NHWC slab, lanes = channels.
+- C < 64: the caller transposes to (B, H, C, W) so lanes = width; a narrow-C
+  NHWC slab would waste (128-C)/128 of every vector op on lane padding.
+
+Measured v5e reality check (in-jit, x4 batch): the kernel only beats XLA's
+own fused conv for the narrow-C layout (864^2 x24: 5.3 vs 9.1 ms/app,
+560^2 x24: 3.1 vs 4.1) — XLA's depthwise emitter is already ~50% of the
+VPU roofline at C >= 64 lanes, where this kernel's scratch-accumulated tap
+loop is ~2x slower. `dw5x5_affine_relu` therefore only takes the Pallas
+path when C < 64; wider channels use the identical fused XLA computation.
+
+Interpret mode (CPU) is used automatically off-TPU so the op stays testable
+on the CPU mesh. Gradients: `jax.custom_vjp` with the backward computed from
+the plain-JAX reference implementation (training uses live BatchNorm stats
+and takes the XLA path anyway; see models/refiner.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _jax_reference(x, w, scale, shift):
+    """Plain-JAX fused block (also the VJP and CPU path). x: (B,H,W,C)."""
+    C = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w[..., None, :].astype(jnp.float32), (1, 1),
+        [(2, 2), (2, 2)], feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y * scale.astype(jnp.float32) + shift.astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(x.dtype)
+
+
+def _kernel_nhwc(x_ref, w_ref, a_ref, out_ref, slab, sem, acc):
+    th, w_out, cb = out_ref.shape
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    dma = pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(i * th, th + 4), :, pl.ds(j * cb, cb)], slab, sem
+    )
+    dma.start()
+    dma.wait()
+    wv = w_ref[:].astype(jnp.float32)
+    av = a_ref[:]
+    # accumulate through a scratch ref: the in-place store after every tap
+    # serializes lifetimes so Mosaic's stack allocator reuses one temp
+    # instead of keeping all 25 tap slices live at once
+    acc[:] = jnp.zeros(out_ref.shape, jnp.float32)
+    for dy in range(5):
+        for dx in range(5):
+            tap = slab[dy : dy + th, dx : dx + w_out, :].astype(jnp.float32)
+            acc[:] = acc[:] + tap * wv[dy, dx]
+    y = acc[:] * av[0] + av[1]
+    out_ref[:] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
+
+
+def _kernel_ncw(x_ref, w_ref, a_ref, out_ref, slab, sem, acc):
+    th, _, w_out = out_ref.shape
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(i * th, th + 4)], slab, sem
+    )
+    dma.start()
+    dma.wait()
+    wv = w_ref[:].astype(jnp.float32)
+    av = a_ref[:]
+    acc[:] = jnp.zeros(out_ref.shape, jnp.float32)
+    for dy in range(5):
+        for dx in range(5):
+            tap = slab[dy : dy + th, :, dx : dx + w_out].astype(jnp.float32)
+            acc[:] = acc[:] + tap * wv[dy, dx][:, None]
+    y = acc[:] * av[0][:, None] + av[1][:, None]
+    out_ref[:] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
+
+
+def _tile_rows(H: int, W: int, C: int, nhwc: bool) -> tuple[int, int]:
+    """(TH, CB): row-band height and channel block fitting VMEM. Budget
+    counts the slab, the double-buffered output block, and ~3 fp32
+    accumulator-sized temporaries (Mosaic's stack allocator keeps the tap
+    cast, the product, and the running sum live simultaneously)."""
+    if nhwc:
+        wp = -(-(W + 4) // 8) * 8
+        cp = -(-C // 128) * 128
+        for cb in (512, 256, 128):
+            if cb > cp:
+                continue
+            for th in (32, 16, 8):
+                area = cb * ((th + 4) * wp * 2 + th * W * (2 * 2 + 3 * 4))
+                if area <= 12 * 1024 * 1024:
+                    return th, cb
+        return 8, 128
+    wp = -(-(W + 4) // 128) * 128
+    cp = -(-max(C, 8) // 8) * 8
+    for th in (32, 16, 8):
+        area = cp * wp * ((th + 4) * 2 + th * (2 * 2 + 3 * 4))
+        if area <= 12 * 1024 * 1024:
+            return th, cp
+    return 8, cp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_call(x, w, scale, shift, interpret=False):
+    B, H, W, C = x.shape
+    nhwc = C >= 64
+    th, cb = _tile_rows(H, W, C, nhwc)
+    n_h = -(-H // th)
+    Hp = n_h * th
+    # The per-program DMA slices a (th+4, Wp, cb) slab out of the padded
+    # input; Mosaic requires the sliced sublane extent be 8-aligned and the
+    # sliced lane extent 128-aligned (full dims are exempt, but the stored
+    # memref is already lane-padded, so the nominal dim must align too).
+    if nhwc:
+        Wp = -(-(W + 4) // 8) * 8
+        n_c = -(-C // cb)
+        Cp = n_c * cb
+    else:
+        Wp = -(-(W + 4) // 128) * 128
+        n_c = 1
+        Cp = cb
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C)))
+    a = jnp.pad(
+        jnp.stack([scale, shift]).astype(jnp.float32), ((0, 0), (0, Cp - C))
+    )
+    xp = jnp.pad(x, ((0, 0), (2, 2 + Hp - H), (2, Wp - W - 2), (0, Cp - C)))
+    if nhwc:
+        out = pl.pallas_call(
+            _kernel_nhwc,
+            grid=(B, n_h, n_c),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (5, 5, cb), lambda b, i, j: (0, 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, cb), lambda b, i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, th, W, cb), lambda b, i, j: (b, i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cp), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((th + 4, Wp, cb), x.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((th, W, cb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, wp, a)
+        return out[:, :H, :, :C]
+    # narrow-C: lanes = width
+    xt = xp.transpose(0, 1, 3, 2)  # (B, Hp+4, Cp, Wp)
+    out = pl.pallas_call(
+        _kernel_ncw,
+        grid=(B, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, th, Cp, W), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Cp, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, Cp, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((th, Cp, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, wp, a)
+    return out[:, :H, :C].transpose(0, 1, 3, 2)
+
+
+@jax.custom_vjp
+def dw5x5_affine_relu(
+    x: jax.Array, w: jax.Array, scale: jax.Array, shift: jax.Array
+) -> jax.Array:
+    """relu(dwconv5x5(x, w) * scale + shift); x (B,H,W,C), w (5,5,C)."""
+    if x.shape[-1] >= 64 or jax.default_backend() != "tpu":
+        return _jax_reference(x, w, scale, shift)
+    return _pallas_call(x, w, scale, shift, interpret=False)
+
+
+def _fwd(x, w, scale, shift):
+    return dw5x5_affine_relu(x, w, scale, shift), (x, w, scale, shift)
+
+
+def _bwd(res, g):
+    x, w, scale, shift = res
+    _, vjp = jax.vjp(_jax_reference, x, w, scale, shift)
+    return vjp(g)
+
+
+dw5x5_affine_relu.defvjp(_fwd, _bwd)

@@ -46,3 +46,38 @@ def test_fused_pos_embed_peaked(rng):
     cv = np.einsum("bic,bjc->bij", f0, f1[:1]) / np.sqrt(c)
     expect = jax.nn.softmax(jnp.asarray(cv), -1) @ jnp.asarray(grid)
     np.testing.assert_allclose(out, np.asarray(expect), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 23, 31, 24), (1, 40, 40, 144), (2, 16, 20, 569)])
+def test_dw5x5_affine_relu_matches_xla(rng, shape):
+    """Fused depthwise conv + folded-BN affine + ReLU == plain XLA chain
+    (both Pallas layouts: NCW for C<64, NHWC channel-blocked otherwise)."""
+    from roma_tpu.ops.pallas.depthwise import _jax_reference, _pallas_call
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((5, 5, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    ref = _jax_reference(x, w, scale, shift)
+    out = _pallas_call(x, w, scale, shift, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_dw5x5_affine_relu_grad(rng):
+    """custom_vjp backward matches grads of the reference chain."""
+    from roma_tpu.ops.pallas.depthwise import _jax_reference, dw5x5_affine_relu
+
+    B, H, W, C = 2, 12, 17, 24
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((5, 5, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    g1 = jax.grad(lambda x, w: dw5x5_affine_relu(x, w, scale, shift).astype(jnp.float32).sum(), (0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: _jax_reference(x, w, scale, shift).astype(jnp.float32).sum(), (0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
+        )
