@@ -31,7 +31,15 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, N, H, d = q.shape
-    Np = -(-N // 256) * 256
+    # v5e-measured block sweep at N=1601: 896-wide blocks are ~1.5x faster
+    # than 256 (fewer grid steps, better MXU occupancy); tiny sequences run
+    # as a single block
+    if N > 896:
+        Np = -(-N // 896) * 896
+        block = 896
+    else:
+        Np = -(-N // 128) * 128
+        block = Np
     pad = Np - N
     qp, kp, vp = (
         jnp.moveaxis(jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0))), 2, 1)
@@ -40,7 +48,6 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     seg = jnp.broadcast_to(
         (jnp.arange(Np) >= N).astype(jnp.int32), (B, Np)
     )
-    block = 256
     sizes = fa.BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block,

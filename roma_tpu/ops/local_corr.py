@@ -18,11 +18,17 @@ products and assemble all K^2 bilinear outputs by slicing:
 
 Corners are fetched in (py, px)-blocks from a channel-packed map (e.g.
 f1q[y, x] = (f1[y,x], f1[y,x+1], f1[y+1,x], f1[y+1,x+1]) for a 2x2 quad):
-one gather of a py*px*C-wide row yields py*px corner dots, cutting the scan
-step count by py*px at py*px-wider rows. XLA's TPU gather emitter throughput
+one gather of a py*px*C-wide row yields py*px corner dots, cutting the step
+count by py*px at py*px-wider rows. XLA's TPU gather emitter throughput
 rises steeply with row width up to ~2KB rows and falls off beyond (v5e), so
-the packing policy uses quads for C <= 256 and no packing wider. The
-gathers are the bottleneck of this op (the rest is one dot per corner).
+the packing policy uses quads for C <= 256 and no packing wider.
+
+Two v5e-measured de-overheading choices: the packed map is zero-padded by
+r+1 pixels per side so every clamped read is EXACTLY right (an out-of-range
+corner lands on a zero row — no per-step validity selects, which cost more
+than the dots), and the offset loop is a plain unrolled Python loop — a
+lax.scan here spends comparable time copying its stacked f32 carry through
+the while-loop body as it does gathering.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ def _pack_policy(C: int) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "padding_mode", "pack", "unroll")
+    jax.jit, static_argnames=("radius", "padding_mode", "pack")
 )
 def local_correlation(
     f0: jax.Array,
@@ -52,7 +58,6 @@ def local_correlation(
     flow: jax.Array | None = None,
     padding_mode: str = "zeros",
     pack: tuple[int, int] | None = None,
-    unroll: int = 4,
 ) -> jax.Array:
     """(B,H,W,C) x (B,H,W,C) -> (B,H,W,(2r+1)^2) local cost volume.
 
@@ -87,12 +92,14 @@ def local_correlation(
     scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
     f0s = (f0.astype(jnp.float32) * scale).astype(f0.dtype)
 
-    # corner-block-packed source map over block origins o in
-    # [-(p-1), H-1] x [-(p-1), W-1]: row (o_y + py-1, o_x + px-1) holds the
-    # py*px corners (f1[o_y+u, o_x+v]) with zeros outside the image, so a
-    # block whose origin sits just outside still yields its valid corners
-    f1p = jnp.pad(f1, ((0, 0), (py - 1, py - 1), (px - 1, px - 1), (0, 0)))
-    Ty, Tx = H + py - 1, W + px - 1
+    # corner-block-packed source map, zero-padded r+p pixels per side so any
+    # clamped block origin reads exact values: an origin clamped to the
+    # bottom row has every corner < 0 (true zeros, and the clamp target is an
+    # all-zero row); symmetrically at the far edge. This removes all
+    # per-corner masking — selects cost more than the corner dots here.
+    Py, Px = r + py, r + px
+    f1p = jnp.pad(f1, ((0, 0), (Py, Py), (Px, Px), (0, 0)))
+    Ty, Tx = H + 2 * Py - (py - 1), W + 2 * Px - (px - 1)
     f1q = jnp.concatenate(
         [
             f1p[:, u : u + Ty, v : v + Tx]
@@ -106,41 +113,43 @@ def local_correlation(
     # holds corners (dy..dy+py-1) x (dx..dx+px-1)
     ny = -(-(2 * r + 2) // py)
     nx = -(-(2 * r + 2) // px)
-    oy, ox = jnp.meshgrid(
-        jnp.arange(ny, dtype=jnp.int32) * py - r,
-        jnp.arange(nx, dtype=jnp.int32) * px - r,
-        indexing="ij",
-    )
-    block_offsets = jnp.stack([oy.reshape(-1), ox.reshape(-1)], axis=-1)
 
-    def block_dot(_, off):
-        yi = y0i + off[0]
-        xi = x0i + off[1]
-        # clip to the padded origin range; corners of farther-out origins are
-        # individually masked below
-        idx = (
-            jnp.clip(yi + py - 1, 0, Ty - 1) * Tx
-            + jnp.clip(xi + px - 1, 0, Tx - 1)
-        )
+    flat = H * W
+
+    def block_dot(off_y, off_x):
+        yi = jnp.clip(y0i + off_y + Py, 0, Ty - 1)
+        xi = jnp.clip(x0i + off_x + Px, 0, Tx - 1)
+        idx = yi * Tx + xi
         vals = jnp.take_along_axis(
-            f1q, idx.reshape(B, H * W, 1), axis=1, mode="promise_in_bounds"
+            f1q, idx.reshape(B, flat, 1), axis=1, mode="promise_in_bounds"
         ).reshape(B, H, W, py * px, C)
-        g = jnp.einsum(
+        return jnp.einsum(
             "bhwc,bhwqc->qbhw", f0s, vals, preferred_element_type=jnp.float32
         )
-        # each corner masked by its own coordinate validity (zeros padding)
-        valid = jnp.stack(
-            [
-                (yi + u >= 0) & (yi + u < H) & (xi + v >= 0) & (xi + v < W)
-                for u in range(py)
-                for v in range(px)
-            ],
-            axis=0,
-        )
-        return None, jnp.where(valid, g, 0.0)
 
-    _, g = jax.lax.scan(block_dot, None, block_offsets, unroll=min(unroll, ny * nx))
-    # g: (ny*nx steps, py*px corners, B, H, W) -> (ny*py, nx*px, B, H, W)
+    if ny * nx <= 64:
+        # fully unrolled: no while-loop carry copies
+        g = jnp.stack(
+            [
+                block_dot(py * ty - r, px * tx - r)
+                for ty in range(ny)
+                for tx in range(nx)
+            ]
+        )
+    else:
+        # very large windows (r=7 at C=512: 256 steps) would balloon compile time
+        # unrolled; scan with moderate unroll instead
+        oy, ox = jnp.meshgrid(
+            jnp.arange(ny, dtype=jnp.int32) * py - r,
+            jnp.arange(nx, dtype=jnp.int32) * px - r,
+            indexing="ij",
+        )
+        offs = jnp.stack([oy.reshape(-1), ox.reshape(-1)], axis=-1)
+        _, g = jax.lax.scan(
+            lambda _, off: (None, block_dot(off[0], off[1])), None, offs,
+            unroll=4,
+        )
+    # g: (ny*nx, py*px, B, H, W)
     g = g.reshape(ny, nx, py, px, B, H, W)
     g = g.transpose(0, 2, 1, 3, 4, 5, 6).reshape(ny * py, nx * px, B, H, W)
     g = g[: 2 * r + 2, : 2 * r + 2]

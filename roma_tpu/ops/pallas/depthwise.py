@@ -123,10 +123,10 @@ def _tile_rows(H: int, W: int, C: int, nhwc: bool) -> tuple[int, int]:
     return 8, cp
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_call(x, w, scale, shift, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "layout"))
+def _pallas_call(x, w, scale, shift, interpret=False, layout=None):
     B, H, W, C = x.shape
-    nhwc = C >= 64
+    nhwc = (C >= 64) if layout is None else (layout == "nhwc")
     th, cb = _tile_rows(H, W, C, nhwc)
     n_h = -(-H // th)
     Hp = n_h * th

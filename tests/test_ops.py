@@ -126,3 +126,33 @@ def test_local_correlation_matches_naive(rng):
     ours = np.asarray(local_correlation(jnp.asarray(f0), jnp.asarray(f1), r, jnp.asarray(flow)))
     ref = naive_local_corr(f0, f1, r, flow)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_local_correlation_extreme_flow_and_packs(rng):
+    """Clamped out-of-range block origins must read exact zeros for any
+    flow, including garbage values far outside [-1, 1], in every corner-
+    packing mode (the padded-map clamping replaces per-corner masking)."""
+    B, H, W, C, r = 2, 9, 11, 8, 2
+    f0 = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    f1 = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    flow = np.where(
+        rng.uniform(size=(B, H, W, 2)) < 0.25,
+        rng.uniform(-60, 60, (B, H, W, 2)),
+        rng.uniform(-1.4, 1.4, (B, H, W, 2)),
+    ).astype(np.float32)
+    ref = naive_local_corr(f0, f1, r, flow)
+    for pack in [(1, 1), (2, 2)]:
+        ours = np.asarray(
+            local_correlation(
+                jnp.asarray(f0), jnp.asarray(f1), r, jnp.asarray(flow), pack=pack
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+    # r=4 unpacked crosses the 36-step threshold into the lax.scan path
+    ref4 = naive_local_corr(f0, f1, 4, flow)
+    ours4 = np.asarray(
+        local_correlation(
+            jnp.asarray(f0), jnp.asarray(f1), 4, jnp.asarray(flow), pack=(1, 1)
+        )
+    )
+    np.testing.assert_allclose(ours4, ref4, atol=1e-4)
