@@ -79,14 +79,19 @@ class DWBlock(nn.Module):
     bn_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        in_c = x.shape[-1]
+    def __call__(
+        self, x: jax.Array, train: bool = False, ncw: bool = False
+    ) -> jax.Array:
+        """ncw=True: x is (B, H, C, W) width-major (inference fast path for
+        narrow channels; the caller owns the single transpose in/out)."""
+        in_c = x.shape[-2] if ncw else x.shape[-1]
         groups = in_c if self.depthwise else 1
         k = self.kernel_size
         kernel, cbias = _ConvParams(
             (k, k, in_c // groups, self.features), name="conv1"
         )()
         scale, bbias, ra_mean, ra_var = _BNParams(self.features, name="norm")()
+        k2, b2 = _ConvParams((1, 1, self.features, self.features), name="conv2")()
 
         fused_ok = (
             not train
@@ -95,6 +100,22 @@ class DWBlock(nn.Module):
             and in_c == self.features
             and not self.is_mutable_collection("batch_stats")
         )
+        if ncw:
+            assert fused_ok, "NHCW layout is an inference-only fast path"
+            inv = scale / jnp.sqrt(ra_var.value + self.bn_eps)
+            x = dw5x5_affine_relu(
+                x.astype(self.dtype),
+                kernel[:, :, 0, :].astype(self.dtype),
+                inv,
+                (cbias - ra_mean.value) * inv + bbias,
+                "NHCW",
+            )
+            return (
+                jnp.einsum(
+                    "bhcw,cd->bhdw", x, k2[0, 0].astype(self.dtype)
+                )
+                + b2.astype(self.dtype)[:, None]
+            )
         if fused_ok:
             inv = scale / jnp.sqrt(ra_var.value + self.bn_eps)
             x = dw5x5_affine_relu(
@@ -124,10 +145,13 @@ class DWBlock(nn.Module):
                 mean, var = ra_mean.value, ra_var.value
             y = (y - mean) * (scale / jnp.sqrt(var + self.bn_eps)) + bbias
             x = nn.relu(y).astype(self.dtype)
-        return nn.Conv(
-            self.features, (1, 1), use_bias=True, dtype=self.dtype,
-            param_dtype=jnp.float32, name="conv2",
-        )(x)
+        # 1x1 as conv, not matmul: XLA's conv path measured ~2x faster here
+        # (the 4D matmul inserts layout bitcast copies; 432^2 x144 x9 blocks:
+        # 40 vs 89 ms)
+        return jax.lax.conv_general_dilated(
+            x, k2.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b2.astype(self.dtype)
 
 
 class ConvRefiner(nn.Module):
@@ -175,15 +199,37 @@ class ConvRefiner(nn.Module):
             parts.append(corr.astype(self.dtype))
         d = jnp.concatenate(parts, axis=-1)
 
+        # narrow-channel refiners (scale 1: 24ch) run the whole block stack
+        # width-major at inference: one transpose in/out instead of HBM
+        # layout copies around every fused depthwise kernel (18 copies of
+        # ~1.9 ms each at 864^2 on v5e)
+        ncw = (
+            not train
+            and self.hidden_dim < 64
+            and d.shape[-1] == self.hidden_dim
+            and self.kernel_size == 5
+            and jax.default_backend() == "tpu"
+            and not self.is_mutable_collection("batch_stats")
+        )
+        ko, bo = _ConvParams((1, 1, self.hidden_dim, 3), name="out_conv")()
+        if ncw:
+            d = d.transpose(0, 1, 3, 2)
         d = DWBlock(
             self.hidden_dim, self.kernel_size, dtype=self.dtype, name="block_in"
-        )(d, train)
+        )(d, train, ncw=ncw)
         for i in range(self.hidden_blocks):
             d = DWBlock(
                 self.hidden_dim, self.kernel_size, dtype=self.dtype, name=f"block_{i}"
-            )(d, train)
-        out = nn.Conv(
-            3, (1, 1), use_bias=True, dtype=jnp.float32, param_dtype=jnp.float32,
-            name="out_conv",
-        )(d.astype(jnp.float32))
+            )(d, train, ncw=ncw)
+        # fp32 out head (reference matcher.py:141-143)
+        if ncw:
+            out = jnp.einsum(
+                "bhcw,cd->bhdw", d.astype(jnp.float32), ko[0, 0]
+            ) + bo[:, None]
+            out = out.transpose(0, 1, 3, 2)
+        else:
+            out = jax.lax.conv_general_dilated(
+                d.astype(jnp.float32), ko, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bo
         return out[..., :2], out[..., 2:]

@@ -176,6 +176,20 @@ def _pallas_call(x, w, scale, shift, interpret=False, layout=None):
         return out[:, :H, :, :C]
     # narrow-C: lanes = width
     xt = xp.transpose(0, 1, 3, 2)  # (B, Hp+4, Cp, Wp)
+    return _pallas_call_ncw(xt, wp, a, H, W, interpret=interpret).transpose(
+        0, 1, 3, 2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _pallas_call_ncw(xt, wp, a, H, W, interpret=False):
+    """Width-major kernel on an already-padded (B, Hp+4, Cp, Wp) input;
+    returns (B, H, Cp, W). Factored out so NCW-resident callers (the
+    scale-1 refiner threads this layout through all nine blocks) skip the
+    per-block HBM transpose copies entirely."""
+    B, Hp4, Cp, Wp = xt.shape
+    th, _ = _tile_rows(H, W, Cp, nhwc=False)
+    n_h = -(-H // th)
     out = pl.pallas_call(
         _kernel_ncw,
         grid=(B, n_h),
@@ -188,34 +202,69 @@ def _pallas_call(x, w, scale, shift, interpret=False, layout=None):
             (None, th, Cp, W), lambda b, i: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Cp, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_h * th, Cp, W), xt.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, Cp, Wp), x.dtype),
+            pltpu.VMEM((th + 4, Cp, Wp), xt.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((th, Cp, W), jnp.float32),
         ],
         interpret=interpret,
     )(xt, wp, a)
-    return out[:, :H, :C].transpose(0, 1, 3, 2)
+    return out[:, :H]
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def dw5x5_affine_relu(
-    x: jax.Array, w: jax.Array, scale: jax.Array, shift: jax.Array
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    data_format: str = "NHWC",
 ) -> jax.Array:
-    """relu(dwconv5x5(x, w) * scale + shift); x (B,H,W,C), w (5,5,C)."""
-    if x.shape[-1] >= 64 or jax.default_backend() != "tpu":
+    """relu(dwconv5x5(x, w) * scale + shift); w (5,5,C).
+
+    data_format "NHWC": x (B,H,W,C). "NHCW": x (B,H,C,W) in and out —
+    width-major, for callers that keep activations in that layout."""
+    ncw_io = data_format == "NHCW"
+    if jax.default_backend() != "tpu":
+        y = x.transpose(0, 1, 3, 2) if ncw_io else x
+        y = _jax_reference(y, w, scale, shift)
+        return y.transpose(0, 1, 3, 2) if ncw_io else y
+    if ncw_io:
+        B, H, C, W = x.shape
+        Wp = -(-(W + 4) // 128) * 128
+        Cp = -(-max(C, 8) // 8) * 8
+        th, _ = _tile_rows(H, W, Cp, nhwc=False)
+        Hp = -(-H // th) * th
+        xt = jnp.pad(
+            x, ((0, 0), (2, 2 + Hp - H), (0, Cp - C), (2, Wp - W - 2))
+        )
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C)))
+        a = jnp.pad(
+            jnp.stack([scale, shift]).astype(jnp.float32),
+            ((0, 0), (0, Cp - C)),
+        )
+        return _pallas_call_ncw(xt, wp, a, H, W)[:, :, :C]
+    if x.shape[-1] >= 64:
         return _jax_reference(x, w, scale, shift)
     return _pallas_call(x, w, scale, shift, interpret=False)
 
 
-def _fwd(x, w, scale, shift):
-    return dw5x5_affine_relu(x, w, scale, shift), (x, w, scale, shift)
+def _fwd(x, w, scale, shift, data_format="NHWC"):
+    return dw5x5_affine_relu(x, w, scale, shift, data_format), (
+        x, w, scale, shift,
+    )
 
 
-def _bwd(res, g):
+def _bwd(data_format, res, g):
     x, w, scale, shift = res
-    _, vjp = jax.vjp(_jax_reference, x, w, scale, shift)
+    if data_format == "NHCW":
+        ref = lambda x, w, s, t: _jax_reference(
+            x.transpose(0, 1, 3, 2), w, s, t
+        ).transpose(0, 1, 3, 2)
+    else:
+        ref = _jax_reference
+    _, vjp = jax.vjp(ref, x, w, scale, shift)
     return vjp(g)
 
 

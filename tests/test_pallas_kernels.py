@@ -81,3 +81,37 @@ def test_dw5x5_affine_relu_grad(rng):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
         )
+
+
+def test_dw5x5_affine_relu_nhcw_matches_nhwc(rng):
+    """Width-major (NHCW) IO path == NHWC path (used by the scale-1 refiner
+    which threads this layout through all blocks at inference)."""
+    from roma_tpu.ops.pallas.depthwise import dw5x5_affine_relu
+
+    B, H, W, C = 2, 14, 19, 24
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((5, 5, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    ref = dw5x5_affine_relu(x, w, scale, shift)
+    out = dw5x5_affine_relu(
+        x.transpose(0, 1, 3, 2), w, scale, shift, "NHCW"
+    ).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_refiner_ncw_block_matches_nhwc(rng):
+    """DWBlock's width-major inference branch == the standard branch."""
+    from roma_tpu.models.refiner import DWBlock
+
+    C = 24
+    x = jnp.asarray(rng.standard_normal((2, 12, 15, C)).astype(np.float32), jnp.bfloat16)
+    blk = DWBlock(C)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(params, x)
+    out = blk.apply(params, x.transpose(0, 1, 3, 2), ncw=True).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
