@@ -27,7 +27,7 @@ BASELINE_FULL_ROMA_PAIRS_PER_S = 1.0
 BASELINE_TINY_NPU_PAIRS_PER_S = 1000.0 / 73.9  # NOTE.md:147-149, 640x320
 
 
-def bench_full_roma(batch: int = 2, iters: int = 4) -> dict:
+def bench_full_roma(batch: int = 4, iters: int = 3) -> dict:
     from roma_tpu.models.zoo import roma_outdoor
 
     matcher = roma_outdoor()
