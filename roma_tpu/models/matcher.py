@@ -261,10 +261,16 @@ class RomaMatcher:
 
     @staticmethod
     def _preprocess(im_a, im_b, *, hs, ws):
-        x = jnp.concatenate([im_a, im_b], axis=0)
-        x = (resize_bicubic(x, (hs, ws)) - IMAGENET_MEAN) / IMAGENET_STD
-        B = im_a.shape[0]
-        return x[:B], x[B:]
+        if im_a.shape[1:3] == im_b.shape[1:3]:
+            x = jnp.concatenate([im_a, im_b], axis=0)
+            x = (resize_bicubic(x, (hs, ws)) - IMAGENET_MEAN) / IMAGENET_STD
+            B = im_a.shape[0]
+            return x[:B], x[B:]
+        # differently-sized inputs (the reference resizes each before
+        # batching, matcher.py:633-648): resize separately, then normalize
+        a = (resize_bicubic(im_a, (hs, ws)) - IMAGENET_MEAN) / IMAGENET_STD
+        b = (resize_bicubic(im_b, (hs, ws)) - IMAGENET_MEAN) / IMAGENET_STD
+        return a, b
 
     @staticmethod
     def _postprocess(flow, certainty, cert16, *, hs, ws, symmetric, attenuate):

@@ -178,3 +178,14 @@ def test_swiglu_droppath_dinohead(rng):
     assert logits.shape == (2, 5, 16)
     # prototypes are unit-norm columns: logits bounded by bottleneck norm (=1)
     assert np.abs(np.asarray(logits)).max() <= 1.0 + 1e-5
+
+
+def test_roma_match_different_input_sizes(debug_matcher, rng):
+    """match() accepts A/B images of different raw sizes (the reference
+    resizes each independently before batching, matcher.py:633-648)."""
+    im_a = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    im_b = rng.uniform(0, 1, (80, 56, 3)).astype(np.float32)
+    warp, cert = debug_matcher.match(jnp.asarray(im_a), jnp.asarray(im_b))
+    hs, ws = debug_matcher.cfg.upsample_resolution
+    assert warp.shape == (hs, 2 * ws, 4)
+    assert np.isfinite(np.asarray(warp)).all()
