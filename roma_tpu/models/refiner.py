@@ -68,8 +68,9 @@ class DWBlock(nn.Module):
     the depthwise conv + affine + ReLU run as one fused op
     (`roma_tpu.ops.pallas.depthwise.dw5x5_affine_relu`: a Pallas kernel for
     narrow channels, XLA's own near-roofline conv otherwise). Training keeps
-    the unfused path with live batch statistics (flax BatchNorm semantics:
-    biased variance, running stats ra = m*ra + (1-m)*batch)."""
+    the unfused path with live batch statistics (torch BatchNorm semantics:
+    normalize with biased batch variance, running_var tracks the unbiased
+    estimate; ra = m*ra + (1-m)*batch)."""
 
     features: int
     kernel_size: int = 5
@@ -138,9 +139,16 @@ class DWBlock(nn.Module):
                 if not self.is_initializing() and self.is_mutable_collection(
                     "batch_stats"
                 ):
+                    # torch BatchNorm convention: normalize with the biased
+                    # batch variance but track the unbiased (Bessel) estimate
+                    # in running_var — keeps from-scratch training stats
+                    # torch-parity (ADVICE r1)
+                    n = y.size // y.shape[-1]
                     m = self.bn_momentum
                     ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                    ra_var.value = m * ra_var.value + (1 - m) * var
+                    ra_var.value = m * ra_var.value + (1 - m) * var * (
+                        n / max(n - 1, 1)
+                    )
             else:
                 mean, var = ra_mean.value, ra_var.value
             y = (y - mean) * (scale / jnp.sqrt(var + self.bn_eps)) + bbias
@@ -189,9 +197,14 @@ class ConvRefiner(nn.Module):
 
         parts = [x.astype(self.dtype), x_hat, emb]
         if self.local_corr_radius is not None:
+            # gradient semantics match the reference exactly
+            # (local_correlation.py:41-47): the window gather of y at the
+            # flow targets runs under no_grad, but grads DO flow into x
+            # through the outer product. (The reference's
+            # disable_local_corr_grad flag is stored but never read.)
             # bf16 features in: the gathers inside are bandwidth-bound
             corr = local_correlation(
-                jax.lax.stop_gradient(x.astype(self.dtype)),
+                x.astype(self.dtype),
                 jax.lax.stop_gradient(y.astype(self.dtype)),
                 self.local_corr_radius,
                 jax.lax.stop_gradient(flow),

@@ -152,7 +152,7 @@ def _pallas_call(x, w, scale, shift, interpret=False, layout=None):
             _kernel_nhwc,
             grid=(B, n_h, n_c),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (5, 5, cb), lambda b, i, j: (0, 0, j),
                     memory_space=pltpu.VMEM,
@@ -176,9 +176,9 @@ def _pallas_call(x, w, scale, shift, interpret=False, layout=None):
         return out[:, :H, :, :C]
     # narrow-C: lanes = width
     xt = xp.transpose(0, 1, 3, 2)  # (B, Hp+4, Cp, Wp)
-    return _pallas_call_ncw(xt, wp, a, H, W, interpret=interpret).transpose(
-        0, 1, 3, 2
-    )
+    return _pallas_call_ncw(xt, wp, a, H, W, interpret=interpret)[
+        :, :, :C
+    ].transpose(0, 1, 3, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
@@ -194,7 +194,7 @@ def _pallas_call_ncw(xt, wp, a, H, W, interpret=False):
         _kernel_ncw,
         grid=(B, n_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

@@ -48,7 +48,36 @@ def test_fused_pos_embed_peaked(rng):
     np.testing.assert_allclose(out, np.asarray(expect), atol=1e-4)
 
 
-@pytest.mark.parametrize("shape", [(2, 23, 31, 24), (1, 40, 40, 144), (2, 16, 20, 569)])
+@pytest.mark.parametrize(
+    "nq,nkv", [(1601, 1601), (256, 256), (900, 900)]
+)
+def test_flash_attention_matches_xla(rng, nq, nkv):
+    """Pallas flash-attention wrapper (pad-to-block + segment-id masking)
+    == jax.nn.dot_product_attention, incl. N not a multiple of the block
+    (896) so the pad-masking path is exercised (ADVICE r1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from roma_tpu.models.transformer import _flash_attention
+
+    B, H, d = 1, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, nq, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, nkv, H, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nkv, H, d)), jnp.float32)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    if jax.default_backend() == "tpu":
+        out = _flash_attention(q, k, v)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 23, 31, 24), (1, 40, 40, 144), (2, 16, 20, 569), (1, 11, 13, 9)],
+)
 def test_dw5x5_affine_relu_matches_xla(rng, shape):
     """Fused depthwise conv + folded-BN affine + ReLU == plain XLA chain
     (both Pallas layouts: NCW for C<64, NHWC channel-blocked otherwise)."""
