@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from roma_tpu.models.transformer import Block
+from roma_tpu.ops.resize import torch_bicubic_resize
 
 
 class DinoViT(nn.Module):
@@ -53,11 +54,15 @@ class DinoViT(nn.Module):
             (1, n0 * n0 + 1, self.embed_dim),
         )
         # bicubic-resize the patch pos-embed grid to (h, w) for arbitrary
-        # resolutions (reference dinov2.py:166-190)
+        # resolutions, torch-exact incl. the reference's +0.1 scale-factor
+        # offset kludge (dinov2.py:166-190): the coordinate mapping uses the
+        # passed scale_factor (h+0.1)/n0, which shifts every sampling
+        # position sub-pixel — weight-compatibility requires reproducing it
         patch_pos = pos_embed[:, 1:].reshape(1, n0, n0, self.embed_dim)
         if (h, w) != (n0, n0):
-            patch_pos = jax.image.resize(
-                patch_pos, (1, h, w, self.embed_dim), "cubic", antialias=False
+            patch_pos = torch_bicubic_resize(
+                patch_pos.astype(jnp.float32), (h, w),
+                scale=((h + 0.1) / n0, (w + 0.1) / n0),
             )
         patch_pos = patch_pos.reshape(1, h * w, self.embed_dim)
 

@@ -142,25 +142,82 @@ def port_dinov2(state: Mapping[str, Any], depth: int = 24) -> dict:
     p["pos_embed"] = state["pos_embed"]
     port_conv(state, "patch_embed.proj", p, ("patch_embed",))
     for i in range(depth):
-        b = f"blocks.{i}"
-        blk = (f"block_{i}",)
-        set_in(p, blk + ("norm1", "scale"), state[f"{b}.norm1.weight"])
-        set_in(p, blk + ("norm1", "bias"), state[f"{b}.norm1.bias"])
-        set_in(p, blk + ("attn", "qkv", "kernel"), linear_kernel(state[f"{b}.attn.qkv.weight"]))
-        set_in(p, blk + ("attn", "qkv", "bias"), state[f"{b}.attn.qkv.bias"])
-        set_in(p, blk + ("attn", "proj", "kernel"), linear_kernel(state[f"{b}.attn.proj.weight"]))
-        set_in(p, blk + ("attn", "proj", "bias"), state[f"{b}.attn.proj.bias"])
-        set_in(p, blk + ("ls1", "gamma"), state[f"{b}.ls1.gamma"])
-        set_in(p, blk + ("norm2", "scale"), state[f"{b}.norm2.weight"])
-        set_in(p, blk + ("norm2", "bias"), state[f"{b}.norm2.bias"])
-        set_in(p, blk + ("mlp", "fc1", "kernel"), linear_kernel(state[f"{b}.mlp.fc1.weight"]))
-        set_in(p, blk + ("mlp", "fc1", "bias"), state[f"{b}.mlp.fc1.bias"])
-        set_in(p, blk + ("mlp", "fc2", "kernel"), linear_kernel(state[f"{b}.mlp.fc2.weight"]))
-        set_in(p, blk + ("mlp", "fc2", "bias"), state[f"{b}.mlp.fc2.bias"])
-        set_in(p, blk + ("ls2", "gamma"), state[f"{b}.ls2.gamma"])
+        tgt: dict = {}
+        port_vit_block(state, f"blocks.{i}", tgt, layer_scale=True)
+        p[f"block_{i}"] = tgt
     set_in(p, ("norm", "scale"), state["norm.weight"])
     set_in(p, ("norm", "bias"), state["norm.bias"])
     return {"params": p}
+
+
+def port_vit_block(state: Mapping[str, Any], prefix: str, tgt: dict,
+                   layer_scale: bool = False) -> None:
+    """One ViT block (reference layers/block.py naming: norm1/attn/norm2/mlp
+    [+ls1/ls2]) -> flax Block params, written into `tgt`."""
+    set_in(tgt, ("norm1", "scale"), np.asarray(state[f"{prefix}.norm1.weight"]))
+    set_in(tgt, ("norm1", "bias"), np.asarray(state[f"{prefix}.norm1.bias"]))
+    set_in(tgt, ("attn", "qkv", "kernel"), linear_kernel(state[f"{prefix}.attn.qkv.weight"]))
+    if f"{prefix}.attn.qkv.bias" in state:  # qkv_bias=False in the match decoder
+        set_in(tgt, ("attn", "qkv", "bias"), np.asarray(state[f"{prefix}.attn.qkv.bias"]))
+    set_in(tgt, ("attn", "proj", "kernel"), linear_kernel(state[f"{prefix}.attn.proj.weight"]))
+    set_in(tgt, ("attn", "proj", "bias"), np.asarray(state[f"{prefix}.attn.proj.bias"]))
+    set_in(tgt, ("norm2", "scale"), np.asarray(state[f"{prefix}.norm2.weight"]))
+    set_in(tgt, ("norm2", "bias"), np.asarray(state[f"{prefix}.norm2.bias"]))
+    set_in(tgt, ("mlp", "fc1", "kernel"), linear_kernel(state[f"{prefix}.mlp.fc1.weight"]))
+    set_in(tgt, ("mlp", "fc1", "bias"), np.asarray(state[f"{prefix}.mlp.fc1.bias"]))
+    set_in(tgt, ("mlp", "fc2", "kernel"), linear_kernel(state[f"{prefix}.mlp.fc2.weight"]))
+    set_in(tgt, ("mlp", "fc2", "bias"), np.asarray(state[f"{prefix}.mlp.fc2.bias"]))
+    if layer_scale:
+        set_in(tgt, ("ls1", "gamma"), np.asarray(state[f"{prefix}.ls1.gamma"]))
+        set_in(tgt, ("ls2", "gamma"), np.asarray(state[f"{prefix}.ls2.gamma"]))
+
+
+def port_transformer_decoder(
+    state: Mapping[str, Any], prefix: str = "", num_blocks: int = 5
+) -> dict:
+    """Reference TransformerDecoder (transformer/__init__.py:10-46:
+    `blocks.{i}` Sequential + `to_out` Linear) -> flax params."""
+    state = {k: np.asarray(v) for k, v in state.items()}
+    p: dict = {}
+    for i in range(num_blocks):
+        tgt: dict = {}
+        port_vit_block(state, f"{prefix}blocks.{i}", tgt)
+        p[f"block_{i}"] = tgt
+    set_in(p, ("to_out", "kernel"), linear_kernel(state[f"{prefix}to_out.weight"]))
+    set_in(p, ("to_out", "bias"), np.asarray(state[f"{prefix}to_out.bias"]))
+    return p
+
+
+def port_gp(state: Mapping[str, Any], prefix: str = "") -> dict:
+    """Reference GP (matcher.py:165-273: `pos_conv` 1x1) -> flax params."""
+    p: dict = {}
+    port_conv(state, f"{prefix}pos_conv", p, ("pos_conv",))
+    return p
+
+
+def port_conv_refiner(
+    state: Mapping[str, Any],
+    prefix: str = "",
+    hidden_blocks: int = 8,
+) -> tuple[dict, dict]:
+    """Reference ConvRefiner (matcher.py:17-143: disp_emb, block1,
+    hidden_blocks.{i} [Sequential(conv k5, BN, relu, conv 1x1)], out_conv)
+    -> (flax params, batch_stats)."""
+    state = {k: np.asarray(v) for k, v in state.items()}
+    params: dict = {}
+    stats: dict = {}
+    port_conv(state, f"{prefix}disp_emb", params, ("disp_emb",))
+
+    def port_dw(src: str, dst: tuple[str, ...]) -> None:
+        port_conv(state, f"{src}.0", params, dst + ("conv1",))
+        port_batchnorm(state, f"{src}.1", params, stats, dst + ("norm",))
+        port_conv(state, f"{src}.3", params, dst + ("conv2",))
+
+    port_dw(f"{prefix}block1", ("block_in",))
+    for i in range(hidden_blocks):
+        port_dw(f"{prefix}hidden_blocks.{i}", (f"block_{i}",))
+    port_conv(state, f"{prefix}out_conv", params, ("out_conv",))
+    return params, stats
 
 
 # torchvision vgg19_bn().features conv indices for the first 4 stages
@@ -201,30 +258,12 @@ def port_roma(state: Mapping[str, Any], dinov2_state: Mapping[str, Any] | None =
     dec_stats: dict = {}
 
     # transformer match decoder: decoder.embedding_decoder.blocks.{i} + to_out
-    for i in range(num_decoder_blocks):
-        b = f"decoder.embedding_decoder.blocks.{i}"
-        blk = (f"block_{i}",)
-        tgt: dict = {}
-        set_in(tgt, ("norm1", "scale"), state[f"{b}.norm1.weight"])
-        set_in(tgt, ("norm1", "bias"), state[f"{b}.norm1.bias"])
-        set_in(tgt, ("attn", "qkv", "kernel"), linear_kernel(state[f"{b}.attn.qkv.weight"]))
-        set_in(tgt, ("attn", "qkv", "bias"), state[f"{b}.attn.qkv.bias"])
-        set_in(tgt, ("attn", "proj", "kernel"), linear_kernel(state[f"{b}.attn.proj.weight"]))
-        set_in(tgt, ("attn", "proj", "bias"), state[f"{b}.attn.proj.bias"])
-        set_in(tgt, ("norm2", "scale"), state[f"{b}.norm2.weight"])
-        set_in(tgt, ("norm2", "bias"), state[f"{b}.norm2.bias"])
-        set_in(tgt, ("mlp", "fc1", "kernel"), linear_kernel(state[f"{b}.mlp.fc1.weight"]))
-        set_in(tgt, ("mlp", "fc1", "bias"), state[f"{b}.mlp.fc1.bias"])
-        set_in(tgt, ("mlp", "fc2", "kernel"), linear_kernel(state[f"{b}.mlp.fc2.weight"]))
-        set_in(tgt, ("mlp", "fc2", "bias"), state[f"{b}.mlp.fc2.bias"])
-        set_in(dec, ("embedding_decoder",) + blk, tgt)
-    set_in(dec, ("embedding_decoder", "to_out", "kernel"),
-           linear_kernel(state["decoder.embedding_decoder.to_out.weight"]))
-    set_in(dec, ("embedding_decoder", "to_out", "bias"),
-           state["decoder.embedding_decoder.to_out.bias"])
+    dec["embedding_decoder"] = port_transformer_decoder(
+        state, prefix="decoder.embedding_decoder.", num_blocks=num_decoder_blocks
+    )
 
     # GP coordinate basis conv
-    port_conv(state, "decoder.gps.16.pos_conv", dec, ("gp16", "pos_conv"))
+    dec["gp16"] = port_gp(state, prefix="decoder.gps.16.")
 
     # per-scale projections: decoder.proj.{s}.{0 conv, 1 bn}
     for s in ("16", "8", "4", "2", "1"):
@@ -234,18 +273,11 @@ def port_roma(state: Mapping[str, Any], dinov2_state: Mapping[str, Any] | None =
 
     # refiners: decoder.conv_refiner.{s}
     for s in ("16", "8", "4", "2", "1"):
-        base = f"decoder.conv_refiner.{s}"
-        tgt_base = (f"refiner_{s}",)
-        port_conv(state, f"{base}.disp_emb", dec, tgt_base + ("disp_emb",))
-        # block1 = Sequential(conv1, norm, relu, conv2)
-        def port_dw(src, dst):
-            port_conv(state, f"{src}.0", dec, dst + ("conv1",))
-            port_batchnorm(state, f"{src}.1", dec, dec_stats, dst + ("norm",))
-            port_conv(state, f"{src}.3", dec, dst + ("conv2",))
-        port_dw(f"{base}.block1", tgt_base + ("block_in",))
-        for i in range(refiner_blocks):
-            port_dw(f"{base}.hidden_blocks.{i}", tgt_base + (f"block_{i}",))
-        port_conv(state, f"{base}.out_conv", dec, tgt_base + ("out_conv",))
+        rp, rs = port_conv_refiner(
+            state, prefix=f"decoder.conv_refiner.{s}.", hidden_blocks=refiner_blocks
+        )
+        dec[f"refiner_{s}"] = rp
+        dec_stats[f"refiner_{s}"] = rs
 
     params["decoder"] = dec
     stats["decoder"] = dec_stats

@@ -193,6 +193,9 @@ class Block(nn.Module):
     layer_scale: bool = False
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
     drop_path_rate: float = 0.0
+    # DINOv2 uses qkv_bias=True (dinov2.py:53); the match decoder's blocks
+    # use the reference Block default False (roma_models.py:27-33)
+    qkv_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -204,9 +207,10 @@ class Block(nn.Module):
             return h
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
-        h = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            h.astype(self.dtype)
-        )
+        h = Attention(
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias,
+            dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype))
         if self.layer_scale:
             h = LayerScale(self.dim, name="ls1")(h)
         x = x + residual(h)
@@ -248,7 +252,8 @@ class TransformerDecoder(nn.Module):
         tokens = x.reshape(B, H * W, self.hidden_dim).astype(self.dtype)
         for i in range(self.num_blocks):
             tokens = Block(
-                self.hidden_dim, self.num_heads, dtype=self.dtype, name=f"block_{i}"
+                self.hidden_dim, self.num_heads, qkv_bias=False,
+                dtype=self.dtype, name=f"block_{i}",
             )(tokens)
         out = nn.Dense(
             self.out_dim, dtype=jnp.float32, param_dtype=jnp.float32, name="to_out"
