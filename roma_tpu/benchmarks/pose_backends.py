@@ -3,8 +3,11 @@
 "cv2": OpenCV E-matrix + recoverPose — byte-compatible with the reference
 protocol (utils/utils.py:31-52), kept as the default so AUC numbers are
 directly comparable to published ones.
-"native": this framework's own vectorized 8-pt MSAC+LO RANSAC
-(roma_tpu.estimation) — no OpenCV dependency, same call contract.
+"native": the C++ estimator (native/ransac.cpp): 5-point Nistér minimal
+solver + MAGSAC-style marginalized scoring + LO — the same solver family as
+cv2.findEssentialMat / PoseLib; falls back to "numpy" if the build fails.
+"numpy": the vectorized-numpy estimator (roma_tpu.estimation), same
+5-point + MAGSAC pipeline.
 """
 
 from __future__ import annotations
@@ -40,8 +43,18 @@ def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
     return best
 
 
-def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
+def estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
     return _estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh)
+
+
+def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
+    """C++ 5-point + MAGSAC + LO; numpy fallback if the build is missing."""
+    try:
+        from roma_tpu.estimation.native import estimate_pose_cpp
+
+        return estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf)
+    except Exception:
+        return estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf)
 
 
 def get_pose_backend(name: str = "auto"):
@@ -49,4 +62,6 @@ def get_pose_backend(name: str = "auto"):
         if cv2 is None:
             raise RuntimeError("cv2 backend requested but OpenCV is unavailable")
         return estimate_pose_cv2
+    if name == "numpy":
+        return estimate_pose_numpy
     return estimate_pose_native

@@ -33,13 +33,15 @@ def load_library() -> ctypes.CDLL:
     if not os.path.exists(_LIB_PATH):
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.estimate_essential_ransac.restype = ctypes.c_int
-    lib.estimate_essential_ransac.argtypes = [
+    lib.estimate_essential_ransac_v2.restype = ctypes.c_int
+    lib.estimate_essential_ransac_v2.argtypes = [
         ctypes.POINTER(ctypes.c_double),  # p0
         ctypes.POINTER(ctypes.c_double),  # p1
         ctypes.c_int,                     # n
         ctypes.c_double,                  # threshold
         ctypes.c_int,                     # max_iters
+        ctypes.c_int,                     # solver: 0 = 8pt, 1 = 5pt
+        ctypes.c_int,                     # scoring: 0 = msac, 1 = magsac
         ctypes.c_uint64,                  # seed
         ctypes.POINTER(ctypes.c_double),  # E out (9)
         ctypes.POINTER(ctypes.c_double),  # R out (9)
@@ -55,6 +57,8 @@ def estimate_essential_ransac_native(
     p1: np.ndarray,
     threshold: float,
     max_iters: int = 1000,
+    solver: str = "5pt",
+    scoring: str = "magsac",
     seed: int = 0,
 ):
     """K-normalized correspondences -> (E, R, t, inliers) or None."""
@@ -67,9 +71,10 @@ def estimate_essential_ransac_native(
     t = np.zeros(3)
     inl = np.zeros(n, np.uint8)
     dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-    n_inl = lib.estimate_essential_ransac(
-        dptr(p0), dptr(p1), n, float(threshold), int(max_iters), int(seed),
-        dptr(E), dptr(R), dptr(t),
+    n_inl = lib.estimate_essential_ransac_v2(
+        dptr(p0), dptr(p1), n, float(threshold), int(max_iters),
+        1 if solver == "5pt" else 0, 1 if scoring == "magsac" else 0,
+        int(seed), dptr(E), dptr(R), dptr(t),
         inl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if n_inl <= 0:
@@ -77,13 +82,16 @@ def estimate_essential_ransac_native(
     return E.reshape(3, 3), R.reshape(3, 3), t, inl.astype(bool)
 
 
-def estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999, seed=0):
+def estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999, seed=0,
+                      solver="5pt", scoring="magsac"):
     """Benchmark-backend contract: pixels in, (R, t, inliers) out."""
-    if len(kpts0) < 8:
+    if len(kpts0) < (5 if solver == "5pt" else 8):
         return None
     q0 = (kpts0 - K0[None, :2, 2]) @ np.linalg.inv(K0[:2, :2]).T
     q1 = (kpts1 - K1[None, :2, 2]) @ np.linalg.inv(K1[:2, :2]).T
-    ret = estimate_essential_ransac_native(q0, q1, norm_thresh, seed=seed)
+    ret = estimate_essential_ransac_native(
+        q0, q1, norm_thresh, solver=solver, scoring=scoring, seed=seed
+    )
     if ret is None:
         return None
     _E, R, t, inl = ret

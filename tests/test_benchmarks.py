@@ -261,3 +261,45 @@ def test_pose_backend_native_equivalence(mega_scene_dir):
     )
     res = bench.benchmark(OracleMatcher(homs))
     assert res["auc_5"] > 0.85, res
+
+
+class CorruptedOracle(OracleMatcher):
+    """Oracle with a fraction of confidently-wrong matches (outliers)."""
+
+    def __init__(self, homography_pairs, noise=0.0, outlier_frac=0.0, **kw):
+        super().__init__(homography_pairs, noise=noise, **kw)
+        self.outlier_frac = outlier_frac
+
+    def match(self, im_a, im_b, batched=False):
+        warp, cert = super().match(im_a, im_b, batched)
+        if self.outlier_frac:
+            rng = np.random.default_rng(1000 + self.calls)
+            warp = np.asarray(warp).copy()
+            cert = np.asarray(cert).copy()
+            mask = rng.uniform(size=cert.shape) < self.outlier_frac
+            warp[..., 2][mask] = rng.uniform(-1, 1, int(mask.sum()))
+            warp[..., 3][mask] = rng.uniform(-1, 1, int(mask.sum()))
+            cert[mask] = 0.9  # confidently wrong
+        return jnp.asarray(warp), jnp.asarray(cert)
+
+
+def test_native_backend_auc_matches_cv2_with_outliers(mega_scene_dir):
+    """VERDICT r1 #2 done-criterion: with 35% outliers + noise on the
+    two-plane oracle, the native (C++ 5-point + MAGSAC) backend's AUC is
+    within noise of cv2's."""
+    pytest.importorskip("cv2")
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+
+    homs = [two_plane_homographies(i) for i in range(3)]
+    aucs = {}
+    for backend in ("cv2", "native"):
+        bench = MegaDepthPoseEstimationBenchmark(
+            data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+            pose_backend=backend, num_ransac_runs=2, sample_num=1000,
+        )
+        res = bench.benchmark(
+            CorruptedOracle(homs, noise=2e-3, outlier_frac=0.35)
+        )
+        aucs[backend] = res["auc_5"]
+    assert aucs["native"] > 0.7, aucs
+    assert aucs["native"] > aucs["cv2"] - 0.12, aucs

@@ -64,7 +64,41 @@ def test_native_matches_numpy_inliers(lib):
 
 def test_native_degenerate_input(lib):
     rng = np.random.default_rng(0)
-    # too few points
+    # too few points (5 is a valid minimal sample for the 5-point solver)
     assert native.estimate_essential_ransac_native(
-        rng.normal(size=(5, 2)), rng.normal(size=(5, 2)), 1e-2
+        rng.normal(size=(4, 2)), rng.normal(size=(4, 2)), 1e-2
     ) is None
+    assert native.estimate_essential_ransac_native(
+        rng.normal(size=(7, 2)), rng.normal(size=(7, 2)), 1e-2, solver="8pt"
+    ) is None
+
+
+def test_native_five_point_low_inlier_ratio(lib):
+    """Native 5-point + MAGSAC at 25% inliers — the regime where the
+    8-point minimal sample (p_all-inlier ~ 0.25^8) collapses."""
+    x0, x1, R, t = synthetic_pair(n=800, outlier_frac=0.75, noise=1e-4, seed=7)
+    ret = native.estimate_essential_ransac_native(
+        x0, x1, 1e-2, max_iters=2000, solver="5pt", scoring="magsac"
+    )
+    assert ret is not None
+    E, R_hat, t_hat, inl = ret
+    assert inl[600:].mean() > 0.95
+    assert angle_error_mat(R_hat, R) < 0.5
+    assert angle_error_vec(t_hat, t) < 1.0
+
+
+def test_native_five_point_matches_numpy_solver(lib):
+    """Same scene, native vs numpy 5-point RANSAC: equivalent pose quality."""
+    from roma_tpu.estimation import estimate_essential_ransac
+    from roma_tpu.estimation.essential import recover_pose
+
+    x0, x1, R, t = synthetic_pair(n=500, outlier_frac=0.4, noise=2e-4, seed=11)
+    ret = native.estimate_essential_ransac_native(
+        x0, x1, 5e-3, max_iters=1000, solver="5pt"
+    )
+    assert ret is not None
+    _, R_n, _, _ = ret
+    res = estimate_essential_ransac(x0, x1, 5e-3, max_iters=1000, solver="5pt")
+    R_p, _, _ = recover_pose(res.model, x0, x1, res.inliers)
+    assert angle_error_mat(R_n, R) < 0.5
+    assert angle_error_mat(R_p, R) < 0.5
