@@ -38,6 +38,11 @@ class TinyRomaConfig:
     fine_match_dim: int = 64      # fine matcher hidden width
     num_matcher_blocks: int = 4
     exact_softmax: bool = True    # exact softmax-expectation (MXU-cheap on TPU)
+    faithful_fast_path: bool = False  # reproduce the reference shortcut's
+                                  # index-as-logit + shifted-grid quirks
+                                  # bit-for-bit (tiny.py:187-198); needed to
+                                  # match reference AUC with ported weights
+                                  # when exact_softmax=False
     fused_kernel: bool = False    # Pallas streaming kernel: no (L0, L1) volume
                                   # in HBM; enables very high resolutions
     # search-space restriction (fork capability, model_tiny2.py:388-533):

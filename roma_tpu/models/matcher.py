@@ -124,6 +124,11 @@ class Decoder(nn.Module):
         c = self.cfg
         scales = ["8", "4", "2", "1"] if upsample else ["16", "8", "4", "2", "1"]
         sizes = {s: f1[s].shape[1:3] for s in f1}
+        # delta-flow normalization uses the FULL-RES dims (reference
+        # matcher.py:338 `h, w = sizes[1]`, used at :397-399) — NOT the
+        # per-scale feature dims: at "scale 16" the DINOv2 grid is actually
+        # /14, so ins/(refine_init*W_full) != 1/(refine_init*w_s)
+        h_full, w_full = sizes[1]
         coarsest = int(scales[0])
         b = f1[coarsest].shape[0]
         h_c, w_c = sizes[coarsest]
@@ -158,12 +163,12 @@ class Decoder(nn.Module):
                 )
                 if train:
                     corresps[ins]["delta_flow"] = delta_flow
-                h_s, w_s = sizes[ins]
-                # displacement in normalized units: ins * delta / (refine_init * n)
+                # displacement in normalized units: ins * delta /
+                # (refine_init * full_res) (matcher.py:397-399)
                 disp = ins * jnp.stack(
                     [
-                        delta_flow[..., 0] / (c.refine_init * w_s),
-                        delta_flow[..., 1] / (c.refine_init * h_s),
+                        delta_flow[..., 0] / (c.refine_init * w_full),
+                        delta_flow[..., 1] / (c.refine_init * h_full),
                     ],
                     axis=-1,
                 )

@@ -117,8 +117,13 @@ class TinyRoma(nn.Module):
             cv = None
         else:
             cv = corr_volume(f0c.astype(jnp.float32), f1c.astype(jnp.float32))
-            embed = pos_embed_expectation if self.cfg.exact_softmax else pos_embed_fast
-            coarse_warp = embed(cv, (h8, w8)).reshape(B, h8, w8, 2)
+            if self.cfg.exact_softmax or train:
+                coarse_warp = pos_embed_expectation(cv, (h8, w8))
+            else:
+                coarse_warp = pos_embed_fast(
+                    cv, (h8, w8), faithful=self.cfg.faithful_fast_path
+                )
+            coarse_warp = coarse_warp.reshape(B, h8, w8, 2)
 
         # residual step scale: one target-image pixel in normalized units
         to_norm = jnp.asarray([2 / W, 2 / H, 1.0], jnp.float32)

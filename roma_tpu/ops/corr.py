@@ -66,30 +66,49 @@ def pos_embed_expectation(cv: jax.Array, src_hw: tuple[int, int]) -> jax.Array:
     return jnp.dot(p, grid, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("src_hw", "down"))
-def pos_embed_fast(cv: jax.Array, src_hw: tuple[int, int], down: int = 4) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("src_hw", "down", "faithful"))
+def pos_embed_fast(
+    cv: jax.Array, src_hw: tuple[int, int], down: int = 4,
+    faithful: bool = False,
+) -> jax.Array:
     """Strided low-res softmax + argmax-channel warp (B, H0*W0, 2).
 
-    Parity path for the reference inference shortcut (tiny.py:187-198): softmax
-    over the `down`-strided source grid plus one extra channel for the argmax
-    position. The reference feeds the argmax *index* as that channel's logit
-    (a quirk that makes the channel dominate); we reproduce the dominating
-    behavior by using the max correlation *value* — the result is the
-    blockwise-softmax approximation the shortcut was aiming at.
+    Parity path for the reference inference shortcut (tiny.py:187-198):
+    softmax over the `down`-strided source grid plus one extra channel for
+    the argmax position. The reference has two quirks:
+    (1) it feeds the argmax *index* (an integer in [0, H1*W1)) as that
+        channel's logit, which makes the channel (almost always) dominate;
+    (2) its low-res grid is `linspace(-1 + down/n, 1 - down/n, n//down)` —
+        slightly shifted from the true coordinates of the strided positions.
+
+    `faithful=True` reproduces both quirks bit-for-bit (needed to reproduce
+    the reference AUC with ported tiny weights). The default replaces the
+    index-logit with the max correlation *value* — the blockwise-softmax
+    approximation the shortcut was aiming at, without the index-magnitude
+    dependence on resolution.
     """
     h1, w1 = src_hw
     B, L0, L1 = cv.shape
     grid = coord_grid(h1, w1).reshape(h1 * w1, 2)
-    # strided positions of the (h1, w1) grid, like cv[:, ::down, ::down] in hw layout
-    grid_lr = coord_grid(h1, w1)[::down, ::down].reshape(-1, 2)
+    if faithful:
+        xs = jnp.linspace(-1 + down / w1, 1 - down / w1, w1 // down)
+        ys = jnp.linspace(-1 + down / h1, 1 - down / h1, h1 // down)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        grid_lr = jnp.stack([gx, gy], -1).reshape(-1, 2)
+    else:
+        # true positions of the (h1, w1) grid strided by `down`
+        grid_lr = coord_grid(h1, w1)[::down, ::down].reshape(-1, 2)
     idx = (
         jnp.arange(0, h1, down)[:, None] * w1 + jnp.arange(0, w1, down)[None, :]
     ).reshape(-1)
     cv32 = cv.astype(jnp.float32)
     cv_lr = cv32[:, :, idx]  # (B, L0, L1/down^2)
     best = jnp.argmax(cv32, axis=-1)  # (B, L0)
-    best_val = jnp.max(cv32, axis=-1)  # (B, L0)
-    logits = jnp.concatenate([cv_lr, best_val[..., None]], axis=-1)
+    if faithful:
+        extra = best.astype(jnp.float32)  # reference: index as logit
+    else:
+        extra = jnp.max(cv32, axis=-1)
+    logits = jnp.concatenate([cv_lr, extra[..., None]], axis=-1)
     p = jax.nn.softmax(logits, axis=-1)
     exp_lr = jnp.dot(p[..., :-1], grid_lr, preferred_element_type=jnp.float32)
     return exp_lr + p[..., -1:] * grid[best]

@@ -69,11 +69,22 @@ def load_romatch():
         def __init__(self, pretrained=False, **kw):
             self.features = make_vgg19_bn_features()
 
+    class _AnyCtor:
+        """Constructible-with-anything placeholder for transforms that are
+        built at module/matcher init but never called on our test paths."""
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def __call__(self, *a, **kw):
+            raise NotImplementedError("stubbed torchvision transform")
+
     tv = _stub("torchvision")
     tv.models = _stub("torchvision.models", vgg19_bn=_VggStub)
     tv.transforms = _stub(
         "torchvision.transforms",
-        ToTensor=object, Compose=object, Resize=object, Normalize=object,
+        ToTensor=_AnyCtor, Compose=_AnyCtor, Resize=_AnyCtor,
+        Normalize=_AnyCtor,
         InterpolationMode=types.SimpleNamespace(BICUBIC="bicubic"),
     )
     tv.transforms.functional = _stub(

@@ -287,12 +287,13 @@ def test_native_backend_auc_matches_cv2_with_outliers(mega_scene_dir):
     """VERDICT r1 #2 done-criterion: with 35% outliers + noise on the
     two-plane oracle, the native (C++ 5-point + MAGSAC) backend's AUC is
     within noise of cv2's."""
-    pytest.importorskip("cv2")
+    cv2 = pytest.importorskip("cv2")
     from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
 
     homs = [two_plane_homographies(i) for i in range(3)]
     aucs = {}
     for backend in ("cv2", "native"):
+        cv2.setRNGSeed(7)  # cv2's RANSAC uses process-global RNG state
         bench = MegaDepthPoseEstimationBenchmark(
             data_root=str(mega_scene_dir), scene_names=["scene.npz"],
             pose_backend=backend, num_ransac_runs=2, sample_num=1000,
