@@ -51,7 +51,11 @@ class CNNandDinov2(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
-        self.cnn = VGG19(dtype=self.dtype)
+        # remat'd VGG: at 560^2 its pre-pool activations dominate encoder
+        # memory in training; recomputing them in backward keeps the batch-2
+        # train step inside a 16 GB v5e (inference is unaffected — remat is
+        # an autodiff-only transform)
+        self.cnn = nn.remat(VGG19, static_argnums=(2,))(dtype=self.dtype)
         self.dinov2 = DinoViT(
             embed_dim=self.cfg.dinov2_dim,
             depth=self.cfg.dinov2_depth,
@@ -60,7 +64,7 @@ class CNNandDinov2(nn.Module):
         )
 
     def __call__(self, x: jax.Array, coarse: bool = True, train: bool = False):
-        pyramid = dict(self.cnn(x, train=train))
+        pyramid = dict(self.cnn(x, train))
         if coarse:
             feats16 = self.dinov2(x)
             pyramid[16] = jax.lax.stop_gradient(feats16)

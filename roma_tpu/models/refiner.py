@@ -227,13 +227,18 @@ class ConvRefiner(nn.Module):
         ko, bo = _ConvParams((1, 1, self.hidden_dim, 3), name="out_conv")()
         if ncw:
             d = d.transpose(0, 1, 3, 2)
-        d = DWBlock(
+        # remat each block in training: the 9-block stacks at 5 scales are
+        # the activation-memory hog of the 560^2 train graph (without this
+        # the batch-2 step OOMs a 16 GB v5e); recompute-in-backward trades
+        # ~15% FLOPs for fitting
+        block_cls = nn.remat(DWBlock, static_argnums=(2, 3)) if train else DWBlock
+        d = block_cls(
             self.hidden_dim, self.kernel_size, dtype=self.dtype, name="block_in"
-        )(d, train, ncw=ncw)
+        )(d, train, ncw)
         for i in range(self.hidden_blocks):
-            d = DWBlock(
+            d = block_cls(
                 self.hidden_dim, self.kernel_size, dtype=self.dtype, name=f"block_{i}"
-            )(d, train, ncw=ncw)
+            )(d, train, ncw)
         # fp32 out head (reference matcher.py:141-143)
         if ncw:
             out = jnp.einsum(
