@@ -32,6 +32,10 @@ def main():
     p.add_argument("--upsample_res", type=int, default=864)
     p.add_argument("--out", default="results/roma_outdoor_mega1500.json")
     p.add_argument("--dense", action="store_true")
+    p.add_argument("--mega8", action="store_true",
+                   help="also run the Mega-8-scenes list")
+    p.add_argument("--pose_backend", default="auto",
+                   choices=["auto", "cv2", "native", "numpy"])
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--shard_count", type=int, default=1)
     args = p.parse_args()
@@ -52,9 +56,19 @@ def main():
 
     results = {}
     bench = MegaDepthPoseEstimationBenchmark(
-        data_root=args.data_root, shard=(args.shard_index, args.shard_count)
+        data_root=args.data_root, shard=(args.shard_index, args.shard_count),
+        pose_backend=args.pose_backend,
     )
     results.update(bench.benchmark(matcher, model_name="roma_outdoor"))
+    if args.mega8:
+        from eval_tiny_roma_v1_outdoor import MEGA8_SCENES
+
+        bench8 = MegaDepthPoseEstimationBenchmark(
+            data_root=args.data_root, scene_names=MEGA8_SCENES,
+            shard=(args.shard_index, args.shard_count),
+            pose_backend=args.pose_backend,
+        )
+        results["mega8"] = bench8.benchmark(matcher, model_name="roma_outdoor")
     if args.dense:
         results.update(
             MegadepthDenseBenchmark(data_root=args.data_root).benchmark(matcher)

@@ -69,3 +69,42 @@ def random_rotation(
     im_r = cv2.warpAffine(im, H2, (w, h), flags=cv2.INTER_LINEAR)
     depth_r = cv2.warpAffine(depth, H2, (w, h), flags=cv2.INTER_NEAREST)
     return im_r, depth_r, H3 @ K
+
+
+def color_jiggle(
+    im: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.1,
+    contrast: float = 0.1,
+    saturation: float = 0.1,
+    hue: float = 0.05,
+) -> np.ndarray:
+    """Photometric jitter on a float [0,1] HWC image (kornia
+    ColorJiggle-style factors). The reference ACCEPTS colorjiggle_params
+    (megadepth.py:29,61) but its get_tuple_transform_ops silently ignores
+    them (utils.py:165-174 never appends a jiggle op), and use_randaug
+    calls an undefined `rand_augment` (megadepth.py:134 — crashes). This is
+    the working implementation of the advertised capability."""
+    b = 1.0 + rng.uniform(-brightness, brightness)
+    c = 1.0 + rng.uniform(-contrast, contrast)
+    s = 1.0 + rng.uniform(-saturation, saturation)
+    h = rng.uniform(-hue, hue)
+
+    out = im * b
+    mean = out.mean(axis=(0, 1), keepdims=True)
+    out = (out - mean) * c + mean
+    gray = out @ np.array([0.299, 0.587, 0.114], np.float32)
+    out = (out - gray[..., None]) * s + gray[..., None]
+    if h != 0.0:
+        # hue rotation in YIQ space (cheap, no cv2 dependency)
+        t = 2 * np.pi * h
+        u, w = np.cos(t), np.sin(t)
+        yiq = np.array(
+            [[0.299, 0.587, 0.114],
+             [0.596, -0.274, -0.322],
+             [0.211, -0.523, 0.312]], np.float32,
+        )
+        rot = np.array([[1, 0, 0], [0, u, -w], [0, w, u]], np.float32)
+        m = np.linalg.inv(yiq) @ rot @ yiq
+        out = out @ m.T
+    return np.clip(out, 0.0, 1.0).astype(np.float32)

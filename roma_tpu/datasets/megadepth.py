@@ -56,6 +56,7 @@ class MegadepthScene:
         max_num_pairs: int = 100_000,
         scene_name: str | None = None,
         use_horizontal_flip_aug: bool = False,
+        colorjiggle_params: dict | None = None,
         rng: np.random.Generator | None = None,
     ) -> None:
         self.data_root = data_root
@@ -76,6 +77,9 @@ class MegadepthScene:
         self.shake_t = shake_t
         self.normalize = normalize
         self.use_horizontal_flip_aug = use_horizontal_flip_aug
+        # photometric jitter (the reference advertises colorjiggle_params
+        # but ignores them, utils.py:165-174; here they work)
+        self.colorjiggle_params = colorjiggle_params
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -121,6 +125,12 @@ class MegadepthScene:
             depth_B = _translate(depth_B, tx, ty)
             K1[:2, 2] += (tx, ty)
             K2[:2, 2] += (tx, ty)
+
+        if self.colorjiggle_params is not None:
+            from roma_tpu.datasets.augment import color_jiggle
+
+            im_A = color_jiggle(im_A, self.rng, **self.colorjiggle_params)
+            im_B = color_jiggle(im_B, self.rng, **self.colorjiggle_params)
 
         if self.use_horizontal_flip_aug and self.rng.random() > 0.5:
             im_A, im_B = im_A[:, ::-1].copy(), im_B[:, ::-1].copy()

@@ -304,3 +304,26 @@ def test_native_backend_auc_matches_cv2_with_outliers(mega_scene_dir):
         aucs[backend] = res["auc_5"]
     assert aucs["native"] > 0.7, aucs
     assert aucs["native"] > aucs["cv2"] - 0.12, aucs
+
+
+def test_color_jiggle_aug(mega_scene_dir):
+    """colorjiggle_params produce a valid, bounded, changed image (the
+    reference advertises but ignores this option; here it works)."""
+    from roma_tpu.datasets.megadepth import MegadepthBuilder
+
+    builder = MegadepthBuilder(data_root=str(mega_scene_dir))
+    plain = builder.build_scenes(split="test_loftr", ht=96, wt=128)[0][0]
+    jig = builder.build_scenes(
+        split="test_loftr", ht=96, wt=128,
+        colorjiggle_params=dict(brightness=0.3, contrast=0.3,
+                                saturation=0.3, hue=0.1),
+    )[0][0]
+    a, b = np.asarray(plain["im_A"]), np.asarray(jig["im_A"])
+    assert a.shape == b.shape
+    assert b.min() >= 0.0 and b.max() <= 1.0
+    assert np.abs(a - b).max() > 0.01  # actually changed
+    # geometry must be untouched
+    np.testing.assert_array_equal(plain["K1"], jig["K1"])
+    np.testing.assert_allclose(
+        np.asarray(plain["im_A_depth"]), np.asarray(jig["im_A_depth"])
+    )
