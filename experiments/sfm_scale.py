@@ -17,7 +17,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
+if "--tpu" not in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
 import jax
+
+if "--tpu" not in sys.argv:
+    # the image's sitecustomize pins JAX_PLATFORMS to the remote TPU; this
+    # study runs on the virtual-CPU mesh unless --tpu is passed
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from roma_tpu.sfm.bundle_adjust import (
@@ -112,6 +124,7 @@ def main():
     ap.add_argument("--cams", type=int, default=100)
     ap.add_argument("--pts", type=int, default=10000)
     ap.add_argument("--ba-iters", type=int, default=30)
+    ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
 
@@ -141,7 +154,9 @@ def main():
         mask=jnp.ones(n_obs, jnp.float32),
     )
     t0 = time.perf_counter()
-    refined, cost = bundle_adjust(problem, iters=args.ba_iters, huber_delta=3.0)
+    refined, cost = bundle_adjust(
+        problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0
+    )
     ba_s = time.perf_counter() - t0
     cams = np.asarray(refined.cameras)
     Rs_ref = np.stack([np.asarray(rodrigues(jnp.asarray(c[:3]))) for c in cams])

@@ -112,9 +112,28 @@ def _build_blocks(p: BAProblem, huber_delta: float):
     uv_n, focal = _normalized_obs(p)
     r = _res_vec(cams, Xs, uv_n)                     # (n_obs, 2) normalized
     Jc, Jp = _res_jac(cams, Xs, uv_n)                # (n_obs,2,6), (n_obs,2,3)
-    # Huber threshold given in pixels; residuals live in normalized units
-    r2_px = jnp.sum(r * r, -1) * focal * focal
-    w = _robust_weight(r2_px, huber_delta) * p.mask
+    # Huber threshold given in pixels; residuals live in normalized units.
+    # Masked observations can carry inf residuals (points at the camera
+    # plane, gated out by filter_observations) — mask with `where`, never
+    # `* mask` (0 * inf = NaN).
+    live = p.mask > 0
+    # near-camera-plane points produce O(1/Xc2^2) ~ 1e16 Jacobian entries:
+    # finite, but their 1e32 outer products make the fp64 Schur blocks
+    # numerically indefinite. Legit normalized-unit Jacobians are O(1/depth);
+    # gate absurd rows out of the linearization entirely.
+    jmax = jnp.maximum(
+        jnp.max(jnp.abs(Jc), axis=(1, 2)), jnp.max(jnp.abs(Jp), axis=(1, 2))
+    )
+    live = live & jnp.isfinite(jmax) & (jmax < 1e6)
+    r = jnp.where(live[:, None], r, 0.0)
+    # dead rows can carry inf/NaN residuals AND Jacobians (points at the
+    # camera plane, gated out by filter_observations) — mask with `where`,
+    # never `* 0` (0 * inf = NaN poisons the segment sums)
+    Jc = jnp.where(live[:, None, None], Jc, 0.0)
+    Jp = jnp.where(live[:, None, None], Jp, 0.0)
+    # clamp: near-camera-plane points overflow fp32 squared-pixel residuals
+    r2_px = jnp.minimum(jnp.sum(r * r, -1) * focal * focal, 1e12)
+    w = jnp.where(live, _robust_weight(r2_px, huber_delta), 0.0)
     sw = jnp.sqrt(w)[:, None]
     return r * sw, Jc * sw[..., None], Jp * sw[..., None]
 
@@ -125,8 +144,10 @@ def _ba_cost(p: BAProblem, huber_delta: float) -> jax.Array:
     Xs = p.points[p.pt_idx]
     uv_n, focal = _normalized_obs(p)
     r = _res_vec(cams, Xs, uv_n)
-    r2_px = jnp.sum(r * r, -1) * focal * focal
-    w = _robust_weight(r2_px, huber_delta) * p.mask
+    live = p.mask > 0
+    r = jnp.where(live[:, None], r, 0.0)  # NaN-safe masking (see _build_blocks)
+    r2_px = jnp.minimum(jnp.sum(r * r, -1) * focal * focal, 1e12)
+    w = jnp.where(live, _robust_weight(r2_px, huber_delta), 0.0)
     return jnp.sum(w * r2_px)
 
 
@@ -264,6 +285,19 @@ def _host_schur_solve(U, V, W, g_c, g_p, cam_idx, pt_idx, lam, fix_first_cam=Tru
     nc, npt = len(U), len(V)
     U = U + lam * np.stack([np.diag(np.maximum(np.diag(u), 1e-8)) for u in U])
     V = V + lam * np.stack([np.diag(np.maximum(np.diag(v), 1e-8)) for v in V])
+    # symmetrize + relative floor: V is PSD by construction only up to
+    # rounding of its own magnitude (near-plane points give ~1e10 entries);
+    # an absolute 1e-8 floor also keeps zero-observation points SPD (their
+    # g_p is 0, so delta_p stays 0)
+    V = 0.5 * (V + np.transpose(V, (0, 2, 1)))
+    # PSD projection: V is PSD by construction only up to rounding of its own
+    # magnitude (near-plane points give ~1e10 entries); clamp eigenvalues so
+    # the Cholesky below is unconditionally valid. Zero-observation points
+    # get eps*I (their g_p is 0, so delta_p stays 0).
+    evals, evecs = np.linalg.eigh(V)
+    floor = 1e-8 + 1e-9 * np.maximum(evals[:, -1], 0.0)
+    evals = np.maximum(evals, floor[:, None])
+    V = np.einsum("pab,pb,pcb->pac", evecs, evals, evecs)
     if fix_first_cam:
         # pin the gauge INSIDE the system — zeroing the delta after solving a
         # coupled system injects inconsistency into every other update
@@ -289,22 +323,72 @@ def _host_schur_solve(U, V, W, g_c, g_p, cam_idx, pt_idx, lam, fix_first_cam=Tru
     return delta_c, delta_p
 
 
+def reprojection_errors_px(p: BAProblem) -> tuple[jax.Array, jax.Array]:
+    """(per-observation reprojection error in px, cheirality ok flags)."""
+    cams = p.cameras[p.cam_idx]
+    Xs = p.points[p.pt_idx]
+    uv_n, focal = _normalized_obs(p)
+    Rs = jax.vmap(rodrigues)(cams[:, :3])
+    Xc = jnp.einsum("kij,kj->ki", Rs, Xs) + cams[:, 3:]
+    r = Xc[:, :2] / jnp.maximum(Xc[:, 2:], 1e-8) - uv_n
+    err_px = jnp.linalg.norm(r, axis=-1) * focal
+    return err_px, Xc[:, 2] > 1e-3
+
+
+def filter_observations(
+    p: BAProblem, max_err_px: float, keep_quantile: float | None = None
+) -> BAProblem:
+    """Zero the mask of observations whose CURRENT reprojection error exceeds
+    the gate or whose point sits behind its camera (static shapes: the gate
+    is the mask, nothing is resized). Outlier tracks otherwise dominate the
+    robust cost linearly (w*r^2 = delta*r) and stall LM.
+
+    `keep_quantile` loosens the gate to at least that quantile of the
+    currently-valid errors — at a rough initialization most honest
+    observations exceed a tight pixel gate; the quantile keeps the inlier
+    mass while still cutting the worst tail."""
+    err_px, in_front = reprojection_errors_px(p)
+    gate = max_err_px
+    if keep_quantile is not None:
+        valid_err = jnp.where(
+            (p.mask > 0) & in_front & jnp.isfinite(err_px), err_px, jnp.inf
+        )
+        q = jnp.quantile(
+            jnp.where(jnp.isfinite(valid_err), valid_err, 1e12), keep_quantile
+        )
+        gate = jnp.maximum(max_err_px, q)
+    keep = (err_px < gate) & in_front
+    return p._replace(mask=p.mask * keep.astype(p.mask.dtype))
+
+
 def bundle_adjust(
     problem: BAProblem,
     iters: int = 20,
     lam0: float = 1e-4,
     huber_delta: float = 1e9,
     fix_first_cam: bool = True,
+    max_err_px: float | None = None,
+    refilter_every: int = 10,
     verbose: bool = False,
 ):
     """LM driver: jitted residual/Jacobian blocks on device, exact fp64 Schur
     solve on host. Returns (optimized problem, final robust cost in px^2)."""
     p = problem
+    if max_err_px is not None:
+        # generous initial gate (keep ~90% of currently-valid observations),
+        # tightened to max_err_px at the periodic refilters below
+        p = filter_observations(p, max_err_px, keep_quantile=0.9)
     lam = lam0
     cam_idx = np.asarray(p.cam_idx)
     pt_idx = np.asarray(p.pt_idx)
     cost = float(_ba_cost(p, huber_delta))
     for it in range(iters):
+        if max_err_px is not None and it > 0 and it % refilter_every == 0:
+            # re-admit observations that became consistent, drop new outliers
+            p = filter_observations(
+                p._replace(mask=problem.mask), max_err_px
+            )
+            cost = float(_ba_cost(p, huber_delta))
         U, V, W, g_c, g_p = [
             np.asarray(a) for a in _ba_blocks(p, huber_delta=huber_delta)
         ]

@@ -110,7 +110,6 @@ def reconstruct(
     ).astype(np.float32)
     X0 = triangulate_tracks(cameras, intrinsics, cam_idx, pt_idx, uv, len(tracks))
 
-    # drop badly-triangulated points (behind a camera / far away)
     problem = BAProblem(
         cameras=jax.numpy.asarray(cameras),
         points=jax.numpy.asarray(X0.astype(np.float32)),
@@ -120,7 +119,11 @@ def reconstruct(
         uv=jax.numpy.asarray(uv),
         mask=jax.numpy.ones(len(uv), jax.numpy.float32),
     )
-    problem, cost = bundle_adjust(problem, iters=ba_iters, huber_delta=4.0)
+    # badly-triangulated observations (behind a camera / reprojection error
+    # beyond 32 px at init) are mask-gated out and periodically re-admitted
+    problem, cost = bundle_adjust(
+        problem, iters=ba_iters, huber_delta=4.0, max_err_px=32.0
+    )
 
     cams = np.asarray(problem.cameras)
     Rs_out = np.stack([np.asarray(rodrigues(c[:3])) for c in cams])
