@@ -1,0 +1,178 @@
+"""DMA-pipelined local correlation (Pallas/TPU).
+
+The XLA gather emitter moves random (2r+2)^2-corner window reads at
+~45-105 GB/s effective; a Pallas kernel issuing per-pixel block DMAs with a
+deep in-flight pipeline reaches ~330 GB/s on the same access pattern
+(experiments/probe_dma_gather.py, v5e) — local correlation is the dominant
+non-matmul cost of full-RoMa decode (PERF.md round 2), so this kernel
+replaces `roma_tpu.ops.local_corr.local_correlation` on TPU for
+128-multiple channel widths.
+
+Key constraints designed around (Mosaic tiled-HBM slicing):
+- dynamic offsets are only legal on UNTILED leading dims, so the source map
+  is pre-arranged as a 5D "8-shift" layout per image
+      f1s[b, s, yb, x, rr, c] = padded[b, yb*8 + rr + s, x, c]
+  and a window at arbitrary (ys, xs) becomes the fully-aligned slice
+      f1s[b, ys % 8, ys // 8, xs : xs + K2]   ->  (K2, 8, C)
+  (rows rr = 0..K2-1 are exactly padded rows ys .. ys+K2-1).
+- the map is zero-padded K2 pixels per side, so any window whose clamped
+  origin was moved is ENTIRELY inside the zero pad (partially-visible
+  windows are never clamped) — bit-exact zeros-padding grid_sample
+  semantics with no per-corner masking.
+
+Per grid step: T pixels. Phase A fires T block DMAs (all in flight), phase B
+computes the (2r+2)^2 corner dots vectorized over the T pixels; the bilinear
+4-corner combine runs outside in XLA (cheap elementwise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T):
+    def dma(i):
+        b = idx_ref[0, 3 * i]
+        ys = idx_ref[0, 3 * i + 1]
+        xs = idx_ref[0, 3 * i + 2]
+        s = jax.lax.rem(ys, 8)
+        yb = jax.lax.div(ys, 8)
+        return pltpu.make_async_copy(
+            f1_ref.at[b, s, yb, pl.ds(xs, K2)], buf.at[i], sem.at[i]
+        )
+
+    # phase A: fire all T fetches (deep pipeline — the DMA engine sustains
+    # ~330 GB/s with many outstanding block copies vs ~45-105 serialized)
+    for i in range(T):
+        dma(i).start()
+    for i in range(T):
+        dma(i).wait()
+
+    # phase B: corner dots, vectorized over the T pixels
+    f0 = f0_ref[...].astype(jnp.float32)  # (T, C)
+    for dy in range(K2):
+        for dx in range(K2):
+            red = jnp.sum(buf[:, dx, dy, :].astype(jnp.float32) * f0, axis=-1)
+            out_ref[dy * K2 + dx, :] = red
+    for k in range(K2 * K2, out_ref.shape[0]):
+        out_ref[k, :] = jnp.zeros((T,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "T", "interpret"))
+def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
+    """f0_flat (N, C); f1s (B, 8, Hb, Wp, 8, C); bidx/ys/xs (N,) int32 ->
+    (N, K2*K2) f32 corner dots (row-major dy, dx). N a multiple of T."""
+    K2 = 2 * radius + 2
+    C = f0_flat.shape[-1]
+    N = f0_flat.shape[0]
+    n_steps = N // T
+    NK = -(-(K2 * K2) // 8) * 8
+    idx = jnp.stack([bidx, ys, xs], axis=-1).reshape(n_steps, 1, 3 * T)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, K2=K2, C=C, T=T),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 3 * T), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, T, C), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, NK, T), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, NK, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T, K2, 8, C), f0_flat.dtype),
+            pltpu.SemaphoreType.DMA((T,)),
+        ],
+        interpret=interpret,
+    )(idx, f0_flat.reshape(n_steps, T, C), f1s)
+    # (n_steps, NK, T) -> (N, K2*K2)
+    return out.transpose(0, 2, 1).reshape(N, NK)[:, : K2 * K2]
+
+
+def _shift_layout(f1p: jax.Array) -> jax.Array:
+    """(B, Hp, Wp, C) zero-padded map -> (B, 8, Hb, Wp, 8, C) 8-shift layout
+    with f1s[b, s, yb, x, rr] = f1p[b, yb*8 + rr + s, x]."""
+    B, Hp, Wp, C = f1p.shape
+    Hb = (Hp + 7) // 8
+    f1p = jnp.pad(f1p, ((0, 0), (0, Hb * 8 + 7 - Hp), (0, 0), (0, 0)))
+    shifts = [
+        f1p[:, s : s + Hb * 8].reshape(B, Hb, 8, Wp, C).transpose(0, 1, 3, 2, 4)
+        for s in range(8)
+    ]
+    return jnp.stack(shifts, axis=1)  # (B, 8, Hb, Wp, 8, C)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def local_correlation_dma(
+    f0: jax.Array,
+    f1: jax.Array,
+    radius: int,
+    flow: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for `roma_tpu.ops.local_corr.local_correlation` (C a multiple
+    of 128, flow required): (B,H,W,C) x2 + flow (B,H,W,2) ->
+    (B,H,W,(2r+1)^2) with zeros-padding bilinear semantics."""
+    B, H, W, C = f0.shape
+    r = radius
+    k = 2 * r + 1
+    K2 = 2 * r + 2
+
+    gx = (flow[..., 0].astype(jnp.float32) + 1.0) * (W / 2) - 0.5
+    gy = (flow[..., 1].astype(jnp.float32) + 1.0) * (H / 2) - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0).astype(jnp.float32)
+    wy = (gy - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f0s = (f0.astype(jnp.float32) * scale).astype(f0.dtype)
+
+    # pad K2 per side: a window whose origin clamps is entirely in the pad
+    f1p = jnp.pad(f1, ((0, 0), (K2, K2), (K2, K2), (0, 0)))
+    Hp, Wp = H + 2 * K2, W + 2 * K2
+    f1s = _shift_layout(f1p)
+
+    ys = jnp.clip(y0i - r + K2, 0, Hp - K2).reshape(B * H * W)
+    xs = jnp.clip(x0i - r + K2, 0, Wp - K2).reshape(B * H * W)
+    bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H * W)
+
+    T = 128
+    N = B * H * W
+    Np = -(-N // T) * T
+    padn = Np - N
+    f0_fl = jnp.pad(f0s.reshape(N, C), ((0, padn), (0, 0)))
+    g = _block_corr(
+        f0_fl,
+        f1s,
+        jnp.pad(bidx, (0, padn)),
+        jnp.pad(ys, (0, padn)),
+        jnp.pad(xs, (0, padn)),
+        radius,
+        T=T,
+        interpret=interpret,
+    )[:N]
+    g = g.reshape(B, H, W, K2, K2)
+
+    def sub(dy0, dx0):
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(g, dy0, dy0 + k, axis=3), dx0, dx0 + k, axis=4
+        ).reshape(B, H, W, k * k)
+
+    w00 = ((1 - wy) * (1 - wx))[..., None]
+    w01 = ((1 - wy) * wx)[..., None]
+    w10 = (wy * (1 - wx))[..., None]
+    w11 = (wy * wx)[..., None]
+    return (
+        w00 * sub(0, 0) + w01 * sub(0, 1) + w10 * sub(1, 0) + w11 * sub(1, 1)
+    )
