@@ -3,9 +3,10 @@
 Metric: full RoMa dense matching throughput (pairs/s) at the reference's
 shipped inference config — coarse 560^2 + upsampled 864^2 second pass,
 symmetric (BASELINE.json primary metric). The reference repo publishes no
-GPU throughput (BASELINE.md "gaps"); vs_baseline uses 1.0 pairs/s, the
-rough published single-GPU speed of full RoMa at this config (~1 s/pair on
-an A100-class card), documented here until a measured baseline exists.
+GPU throughput (BASELINE.md "gaps"); vs_baseline uses the DERIVED 2.5
+pairs/s reference-on-A100 estimate from XLA cost analysis of the
+architecture-identical graph (experiments/baseline_estimate.py, PERF.md
+"derived baseline") — deliberately generous to the reference.
 
 Timing forces a host readback per batch: on the remote-TPU runtime used in
 this environment, block_until_ready returns before execution completes.

@@ -21,6 +21,20 @@ except Exception:  # pragma: no cover
 
 from roma_tpu.estimation.essential import estimate_pose as _estimate_pose_native
 
+# attempt the C++ build/bind ONCE at import: a missing build falls back to
+# numpy with a visible warning, while per-call estimator exceptions propagate
+# (a silent bare-except here could mask real C++ bugs inside benchmark
+# numbers — ADVICE r2)
+try:
+    from roma_tpu.estimation.native import estimate_pose_cpp as _estimate_pose_cpp
+    from roma_tpu.estimation.native import load_library as _load_native_library
+
+    _load_native_library()  # build/bind now (cached .so makes this a no-op)
+    _NATIVE_IMPORT_ERROR: Exception | None = None
+except Exception as _e:  # pragma: no cover - build-environment dependent
+    _estimate_pose_cpp = None
+    _NATIVE_IMPORT_ERROR = _e
+
 
 def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
     """Reference-protocol pose estimation via OpenCV (utils/utils.py:31-52):
@@ -48,13 +62,19 @@ def estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
 
 
 def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
-    """C++ 5-point + MAGSAC + LO; numpy fallback if the build is missing."""
-    try:
-        from roma_tpu.estimation.native import estimate_pose_cpp
+    """C++ 5-point + MAGSAC + LO; numpy fallback if the BUILD is missing
+    (estimator errors at call time propagate — see module docstring)."""
+    if _estimate_pose_cpp is None:
+        import warnings
 
-        return estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf)
-    except Exception:
+        warnings.warn(
+            "native C++ estimator unavailable "
+            f"({_NATIVE_IMPORT_ERROR!r}); using the numpy backend",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf)
+    return _estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf)
 
 
 def get_pose_backend(name: str = "auto"):

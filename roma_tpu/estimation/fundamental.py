@@ -54,9 +54,8 @@ def fundamental_7pt(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
     V = np.vander(ts, 4)  # columns t^3, t^2, t, 1
     coeffs = evals @ np.linalg.inv(V).T  # (S, 4): [c3, c2, c1, c0]
 
-    S = len(F1)
     models = []
-    c3, c2, c1, c0 = coeffs.T
+    c3 = coeffs[:, 0]
     cubic = np.abs(c3) > 1e-14 * np.maximum(1.0, np.abs(coeffs).max(axis=1))
     # companion matrices for the cubic samples
     if np.any(cubic):
@@ -72,8 +71,11 @@ def fundamental_7pt(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
         t = lam[si, ri].real
         F = F1[src[si]] + t[:, None, None] * F2[src[si]]
         models.append(F)
-    # degenerate-to-quadratic/linear samples: fall back to F1 (det ~ 0 root
-    # not recoverable robustly; these samples are near-degenerate anyway)
+    # degenerate-to-quadratic/linear samples: the cubic's leading term
+    # vanished, so a robust root is not recoverable — keep F1 itself as the
+    # hypothesis (its det is near 0 for these near-degenerate samples)
+    if not np.all(cubic):
+        models.append(F1[~cubic])
     if len(models) == 0:
         return np.zeros((0, 3, 3))
     F = np.concatenate(models, axis=0)
@@ -85,7 +87,7 @@ def estimate_fundamental_ransac(
     p0: np.ndarray,
     p1: np.ndarray,
     threshold_px: float,
-    max_iters: int = 2000,
+    max_iters: int = 10000,
     solver: str = "7pt",
     scoring: str = "magsac",
     rng: np.random.Generator | None = None,
@@ -115,7 +117,7 @@ def estimate_pose_uncalibrated(
     K0: np.ndarray,
     K1: np.ndarray,
     norm_thresh: float,
-    max_iters: int = 2000,
+    max_iters: int = 10000,
     rng: np.random.Generator | None = None,
 ):
     """Uncalibrated pose (reference utils/utils.py:54-76): F-RANSAC on pixel

@@ -350,12 +350,19 @@ def filter_observations(
     err_px, in_front = reprojection_errors_px(p)
     gate = max_err_px
     if keep_quantile is not None:
-        valid_err = jnp.where(
-            (p.mask > 0) & in_front & jnp.isfinite(err_px), err_px, jnp.inf
+        # quantile over VALID entries only (invalid ones sort to +inf and the
+        # rank is taken within the valid count) — substituting a sentinel
+        # into jnp.quantile would pull the gate into the sentinel mass when
+        # many observations are masked/behind-camera (ADVICE r2)
+        valid = (p.mask > 0) & in_front & jnp.isfinite(err_px)
+        n_valid = jnp.sum(valid)
+        sorted_err = jnp.sort(jnp.where(valid, err_px, jnp.inf))
+        rank = jnp.clip(
+            (keep_quantile * jnp.maximum(n_valid - 1, 0)).astype(jnp.int32),
+            0,
+            err_px.shape[0] - 1,
         )
-        q = jnp.quantile(
-            jnp.where(jnp.isfinite(valid_err), valid_err, 1e12), keep_quantile
-        )
+        q = jnp.where(n_valid > 0, sorted_err[rank], max_err_px)
         gate = jnp.maximum(max_err_px, q)
     keep = (err_px < gate) & in_front
     return p._replace(mask=p.mask * keep.astype(p.mask.dtype))
