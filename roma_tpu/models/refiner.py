@@ -27,6 +27,7 @@ from roma_tpu.models.layers import torch_padding
 from roma_tpu.ops.corr import coord_grid
 from roma_tpu.ops.grid_sample import grid_sample
 from roma_tpu.ops.local_corr import local_correlation
+from roma_tpu.ops.pallas.block_gather import local_correlation_dma
 from roma_tpu.ops.pallas.depthwise import dw5x5_affine_relu
 
 
@@ -203,7 +204,22 @@ class ConvRefiner(nn.Module):
             # through the outer product. (The reference's
             # disable_local_corr_grad flag is stored but never read.)
             # bf16 features in: the gathers inside are bandwidth-bound
-            corr = local_correlation(
+            #
+            # inference on TPU routes through the DMA block-gather Pallas
+            # kernel (ops/pallas/block_gather.py) when the window fits its
+            # 8-deep shift layout (r <= 3 -> scales 8/4) and C is a lane
+            # multiple: per-pixel block DMAs pipeline at ~160-190 GB/s vs
+            # the XLA gather emitter's 49-65 GB/s on this access pattern —
+            # 2.5-3.3x at the model shapes (experiments/profile_local_corr).
+            # Training keeps the XLA path (autodiff into x).
+            use_dma = (
+                not train
+                and self.local_corr_radius <= 3
+                and x.shape[-1] % 128 == 0
+                and jax.default_backend() == "tpu"
+            )
+            corr_fn = local_correlation_dma if use_dma else local_correlation
+            corr = corr_fn(
                 x.astype(self.dtype),
                 jax.lax.stop_gradient(y.astype(self.dtype)),
                 self.local_corr_radius,

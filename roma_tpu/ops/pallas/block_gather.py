@@ -43,15 +43,18 @@ def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T):
         s = jax.lax.rem(ys, 8)
         yb = jax.lax.div(ys, 8)
         return pltpu.make_async_copy(
-            f1_ref.at[b, s, yb, pl.ds(xs, K2)], buf.at[i], sem.at[i]
+            f1_ref.at[b, s, yb, pl.ds(xs, K2)], buf.at[i], sem
         )
 
     # phase A: fire all T fetches (deep pipeline — the DMA engine sustains
-    # ~330 GB/s with many outstanding block copies vs ~45-105 serialized)
-    for i in range(T):
-        dma(i).start()
-    for i in range(T):
-        dma(i).wait()
+    # ~330 GB/s with many outstanding block copies vs ~45-105 serialized).
+    # ONE shared DMA semaphore for all T copies: every copy is the same size,
+    # so T waits drain exactly T completions. (A per-slot semaphore array
+    # indexed `.at[i]` both ballooned Mosaic compile to minutes when unrolled
+    # and deadlocked under fori_loop.) Rolled loops, not Python unroll:
+    # starts are non-blocking either way, pipeline depth is still T.
+    jax.lax.fori_loop(0, T, lambda i, c: (dma(i).start(), c)[1], 0)
+    jax.lax.fori_loop(0, T, lambda i, c: (dma(i).wait(), c)[1], 0)
 
     # phase B: corner dots, vectorized over the T pixels
     f0 = f0_ref[...].astype(jnp.float32)  # (T, C)
@@ -67,6 +70,7 @@ def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T):
 def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
     """f0_flat (N, C); f1s (B, 8, Hb, Wp, 8, C); bidx/ys/xs (N,) int32 ->
     (N, K2*K2) f32 corner dots (row-major dy, dx). N a multiple of T."""
+    assert radius <= 3, "8-deep shift layout covers K2 = 2r+2 <= 8 rows"
     K2 = 2 * radius + 2
     C = f0_flat.shape[-1]
     N = f0_flat.shape[0]
@@ -89,7 +93,7 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n_steps, NK, T), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((T, K2, 8, C), f0_flat.dtype),
-            pltpu.SemaphoreType.DMA((T,)),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(idx, f0_flat.reshape(n_steps, T, C), f1s)

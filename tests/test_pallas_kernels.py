@@ -144,3 +144,31 @@ def test_refiner_ncw_block_matches_nhwc(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+@pytest.mark.parametrize(
+    "shape,r",
+    [((2, 12, 16, 128), 3), ((1, 10, 10, 256), 2), ((2, 9, 11, 128), 1)],
+)
+def test_local_correlation_dma_matches_oracle(rng, shape, r):
+    """DMA block-gather local corr == the (oracle-exact) XLA path, including
+    out-of-range flows that exercise the zeros-pad clamping."""
+    from roma_tpu.ops.local_corr import local_correlation
+    from roma_tpu.ops.pallas.block_gather import local_correlation_dma
+
+    B, H, W, C = shape
+    f0 = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    f1 = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-1.7, 1.7, (B, H, W, 2)), jnp.float32)
+    ref = np.asarray(local_correlation(f0, f1, r, flow))
+    got = np.asarray(local_correlation_dma(f0, f1, r, flow, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_local_correlation_dma_radius_gate():
+    from roma_tpu.ops.pallas.block_gather import local_correlation_dma
+
+    f = jnp.zeros((1, 8, 8, 128), jnp.bfloat16)
+    flow = jnp.zeros((1, 8, 8, 2), jnp.float32)
+    with pytest.raises(AssertionError):
+        local_correlation_dma(f, f, 4, flow, interpret=True)
