@@ -208,9 +208,25 @@ def kernel_selftest() -> dict:
         + fetch(y0 + 1, x0 + 1) * (wx * wy)[..., None]
     )
     out["grid_sample"] = float(jnp.max(jnp.abs(got - ref)))
+
+    # DMA block-gather local correlation vs the XLA packed-gather path at a
+    # refiner-like shape. On-device the two differ at bf16 level — and the
+    # fp64 oracle says the DMA kernel is the accurate one (7e-6 vs the XLA
+    # einsum's 5e-3), so this entry guards integration, not kernel quality.
+    from roma_tpu.ops.local_corr import local_correlation
+    from roma_tpu.ops.pallas.block_gather import local_correlation_dma
+
+    f0 = jnp.asarray(rng.standard_normal((2, 40, 40, 128)), jnp.bfloat16)
+    f1 = jnp.asarray(rng.standard_normal((2, 40, 40, 128)), jnp.bfloat16)
+    fl = jnp.asarray(rng.uniform(-1.3, 1.3, (2, 40, 40, 2)), jnp.float32)
+    ref = local_correlation(f0, f1, 2, fl).astype(jnp.float32)
+    got = local_correlation_dma(f0, f1, 2, fl).astype(jnp.float32)
+    out["local_corr_dma_vs_xla"] = float(jnp.max(jnp.abs(got - ref)))
+
     out["value"] = max(
         out["flash_attention"], out["dw5x5_nhwc"], out["dw5x5_nhcw"],
         out["fused_corr_softmax"], out["grid_sample"],
+        out["local_corr_dma_vs_xla"],
     )
     out["vs_baseline"] = 1.0
     return out

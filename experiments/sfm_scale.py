@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from roma_tpu.sfm.bundle_adjust import (
     BAProblem,
     bundle_adjust,
+    bundle_adjust_device,
     make_distributed_ba_step,
     rodrigues,
     triangulate_tracks,
@@ -125,6 +126,16 @@ def main():
     ap.add_argument("--pts", type=int, default=10000)
     ap.add_argument("--ba-iters", type=int, default=30)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument(
+        "--device-driver", action="store_true",
+        help="use bundle_adjust_device (fully-jitted LM, on-device f64 "
+             "solve) instead of the host-fp64 driver",
+    )
+    ap.add_argument(
+        "--shard", type=int, default=0,
+        help="with --device-driver: shard the observation axis over an "
+             "N-device mesh",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(0)
 
@@ -154,9 +165,26 @@ def main():
         mask=jnp.ones(n_obs, jnp.float32),
     )
     t0 = time.perf_counter()
-    refined, cost = bundle_adjust(
-        problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0
-    )
+    if args.device_driver:
+        mesh = None
+        dd_problem = problem
+        if args.shard:
+            pad = (-n_obs) % args.shard
+            dd_problem = problem._replace(
+                cam_idx=jnp.pad(problem.cam_idx, (0, pad)),
+                pt_idx=jnp.pad(problem.pt_idx, (0, pad)),
+                uv=jnp.pad(problem.uv, ((0, pad), (0, 0))),
+                mask=jnp.pad(problem.mask, (0, pad)),
+            )
+            mesh = make_mesh(n_data=args.shard)
+        refined, cost = bundle_adjust_device(
+            dd_problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0,
+            mesh=mesh,
+        )
+    else:
+        refined, cost = bundle_adjust(
+            problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0
+        )
     ba_s = time.perf_counter() - t0
     cams = np.asarray(refined.cameras)
     Rs_ref = np.stack([np.asarray(rodrigues(jnp.asarray(c[:3]))) for c in cams])

@@ -65,17 +65,16 @@ class HpatchesHomogBenchmark:
                 continue
             im_a = Image.open(os.path.join(self.seqs_path, seq_name, "1.ppm"))
             w1, h1 = im_a.size
-            a = np.asarray(im_a.convert("RGB"), np.float32) / 255.0
             for im_idx in range(2, 7):
                 im_b = Image.open(
                     os.path.join(self.seqs_path, seq_name, f"{im_idx}.ppm")
                 )
                 w2, h2 = im_b.size
-                b = np.asarray(im_b.convert("RGB"), np.float32) / 255.0
                 H_gt = np.loadtxt(
                     os.path.join(self.seqs_path, seq_name, f"H_1_{im_idx}")
                 )
-                warp, certainty = matcher.match(a, b)
+                # PIL straight to the matcher (host resize, O(1) compiles)
+                warp, certainty = matcher.match(im_a, im_b)
                 key, sub = jax.random.split(key)
                 sparse, _ = matcher.sample(warp, certainty, self.sample_num, key=sub)
                 sparse = np.asarray(sparse)

@@ -58,7 +58,11 @@ def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
 
 
 def estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
-    return _estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh)
+    # deterministic given the inputs: the protocol's repetition variance
+    # comes from the harness's (seeded) shuffles, not estimator entropy
+    return _estimate_pose_native(
+        kpts0, kpts1, K0, K1, norm_thresh, rng=np.random.default_rng(0)
+    )
 
 
 def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):

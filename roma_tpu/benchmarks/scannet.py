@@ -46,7 +46,11 @@ class ScanNetBenchmark:
         pairs, rel_pose = tmp["name"], tmp["rel_pose"]
         tot_e_pose: list[float] = []
         key = jax.random.PRNGKey(self.seed)
+        # private seeded generators (pair order AND per-repetition shuffles):
+        # the reference uses the process-global numpy RNG, which makes
+        # results depend on unrelated callers' RNG consumption
         order = np.random.default_rng(self.seed).permutation(len(pairs))
+        shuffle_rng = np.random.default_rng(self.seed + 1)
         for n, pairind in enumerate(order):
             if n % self.shard[1] != self.shard[0]:
                 continue
@@ -68,9 +72,9 @@ class ScanNetBenchmark:
             )
             w1, h1 = im_a.size
             w2, h2 = im_b.size
-            a = np.asarray(im_a.convert("RGB"), np.float32) / 255.0
-            b = np.asarray(im_b.convert("RGB"), np.float32) / 255.0
-            warp, certainty = matcher.match(a, b)
+            # PIL handed straight to the matcher: host-side resize keeps the
+            # device graphs at fixed shapes (O(1) compiles across the eval)
+            warp, certainty = matcher.match(im_a, im_b)
             key, sub = jax.random.split(key)
             sparse, _ = matcher.sample(warp, certainty, self.sample_num, key=sub)
             sparse = np.asarray(sparse)
@@ -93,7 +97,7 @@ class ScanNetBenchmark:
                 np.mean(np.abs(K1[:2, :2])) + np.mean(np.abs(K2[:2, :2]))
             )
             for _rep in range(self.num_ransac_runs):
-                shuffling = np.random.permutation(len(kpts1))
+                shuffling = shuffle_rng.permutation(len(kpts1))
                 kpts1, kpts2 = kpts1[shuffling], kpts2[shuffling]
                 try:
                     ret = self.estimate_pose(kpts1, kpts2, K1, K2, norm_threshold)

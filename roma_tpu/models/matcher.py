@@ -323,32 +323,59 @@ class RomaMatcher:
     def normalize(im: jax.Array) -> jax.Array:
         return (im - IMAGENET_MEAN) / IMAGENET_STD
 
+    @staticmethod
+    def _host_prep(pil_im, hs: int, ws: int) -> jax.Array:
+        """Reference-protocol host preprocessing for PIL inputs: PIL bicubic
+        resize (torchvision Resize on a PIL image = PIL's antialiased
+        bicubic, utils.py:165-174) + /255 + ImageNet normalize, all on host.
+        The device graphs then only ever see the FIXED (hs, ws) shapes, so a
+        real-data eval over hundreds of unique image sizes compiles O(1)
+        times instead of once per size (the device `_prep` jit is keyed on
+        the raw input shape)."""
+        from PIL import Image
+
+        r = pil_im.resize((ws, hs), Image.BICUBIC)
+        x = np.asarray(r, np.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        return jnp.asarray(x[None])
+
     def match(self, im_a, im_b, batched: bool = False):
-        """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1], or image paths.
+        """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1], image paths, or
+        PIL Images (paths/PIL resize on host — one compile for any eval set).
 
         Returns (warp, certainty): symmetric warp (B, hs, 2*ws, 4) + certainty
         (B, hs, 2*ws) at the output resolution (upsample_res when two-pass)."""
-        if isinstance(im_a, (str, bytes)) or hasattr(im_a, "__fspath__"):
-            from PIL import Image
+        from PIL import Image
 
-            im_a = jnp.asarray(
-                np.asarray(Image.open(im_a).convert("RGB"), np.float32) / 255.0
-            )
-            im_b = jnp.asarray(
-                np.asarray(Image.open(im_b).convert("RGB"), np.float32) / 255.0
-            )
-        if im_a.ndim == 3:
+        if isinstance(im_a, (str, bytes)) or hasattr(im_a, "__fspath__"):
+            im_a = Image.open(im_a).convert("RGB")
+            im_b = Image.open(im_b).convert("RGB")
+        pil_mode = isinstance(im_a, Image.Image)
+        if pil_mode:
+            im_a = im_a.convert("RGB")
+            im_b = im_b.convert("RGB")
+        elif im_a.ndim == 3:
             im_a, im_b = im_a[None], im_b[None]
         cfg = self.cfg
         hs, ws = cfg.coarse_resolution
-        a, b = self._prep(im_a, im_b, hs=hs, ws=ws)
+        if pil_mode:
+            a = self._host_prep(im_a, hs, ws)
+            b = self._host_prep(im_b, hs, ws)
+        else:
+            a, b = self._prep(im_a, im_b, hs=hs, ws=ws)
         corresps = self._fwd(self.params, a, b)
         cert16 = corresps[16]["certainty"] if cfg.attenuate_cert else None
 
         if cfg.upsample_preds:
             hs, ws = cfg.upsample_resolution
             finest = corresps[1]
-            a2, b2 = self._prep(im_a, im_b, hs=hs, ws=ws)
+            if pil_mode:
+                # re-transform the ORIGINALS at the upsample resolution
+                # (reference matcher.py:667-676)
+                a2 = self._host_prep(im_a, hs, ws)
+                b2 = self._host_prep(im_b, hs, ws)
+            else:
+                a2, b2 = self._prep(im_a, im_b, hs=hs, ws=ws)
             sf = float(np.sqrt(
                 (hs * ws) / (cfg.coarse_resolution[0] * cfg.coarse_resolution[1])
             ))

@@ -202,6 +202,17 @@ class TinyRomaMatcher:
         """
         if isinstance(im_a, (str, bytes)) or hasattr(im_a, "__fspath__"):
             im_a, im_b = _load_image_pair(im_a, im_b)
+        from PIL import Image
+
+        if isinstance(im_a, Image.Image):
+            # PIL inputs (benchmark harnesses): tiny runs at native input
+            # resolution (reference tiny.py:256-261), so just decode
+            im_a = jnp.asarray(
+                np.asarray(im_a.convert("RGB"), np.float32) / 255.0
+            )
+            im_b = jnp.asarray(
+                np.asarray(im_b.convert("RGB"), np.float32) / 255.0
+            )
         if im_a.ndim == 3:
             im_a, im_b = im_a[None], im_b[None]
         B, H, W, _ = im_a.shape

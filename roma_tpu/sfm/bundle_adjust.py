@@ -421,15 +421,68 @@ def bundle_adjust(
     return p, cost
 
 
+def _chol3(A: jax.Array) -> jax.Array:
+    """Closed-form lower Cholesky of batched SPD 3x3 (pure elementwise ops —
+    TPU's XLA has no f64 Cholesky primitive, but emulates f64 arithmetic)."""
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    tiny = jnp.asarray(1e-30, A.dtype)
+    l11 = jnp.sqrt(jnp.maximum(a11, tiny))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, tiny))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, tiny))
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], -1),
+            jnp.stack([l21, l22, z], -1),
+            jnp.stack([l31, l32, l33], -1),
+        ],
+        -2,
+    )
+
+
+def _inv3_spd(A: jax.Array) -> jax.Array:
+    """Closed-form (adjugate) inverse of batched symmetric 3x3 — same
+    no-f64-linalg-primitive constraint as `_chol3`."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    ca = d * f - e * e
+    cb = c * e - b * f
+    cc = b * e - c * d
+    det = a * ca + b * cb + c * cc
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    cd = a * f - c * c
+    ce = b * c - a * e
+    cf = a * d - b * b
+    inv = jnp.stack(
+        [
+            jnp.stack([ca, cb, cc], -1),
+            jnp.stack([cb, cd, ce], -1),
+            jnp.stack([cc, ce, cf], -1),
+        ],
+        -2,
+    )
+    return inv / det[..., None, None]
+
+
 def _dense_schur_solve_f64(U, V, W, g_c, g_p, cam_idx, pt_idx, fix_first_cam):
     """Damped-GN camera/point deltas via a dense reduced camera system,
     entirely on device (traced under x64): the big per-observation work (U,
     V, W, D assembly) stays fp32 on the MXU — its ~1e-7 relative rounding of
     S costs only a slightly-perturbed DESCENT DIRECTION — while the
-    ill-conditioned part (cond(S) ~1e9: gauge pin + mixed units) is the
-    (6 n_cams)^2 SOLVE, done in float64 with Jacobi scaling. TPU has no
-    native f64; XLA's emulation is slow per-FLOP but the system is tiny
-    (100 cams -> 600^2 Cholesky = 7e7 FLOPs).
+    ill-conditioned part (cond(S) ~1e9: gauge pin + mixed units) is handled
+    in float64 elementwise math. TPU's XLA implements NO f64 linalg
+    primitives (LuDecomposition/Cholesky are F32-only custom calls), so:
+    - the per-point 3x3 Cholesky/inverse use closed forms (pure f64
+      elementwise ops, which TPU does emulate),
+    - the (6 n_cams)^2 system is Jacobi-scaled, factorized ONCE in f32
+      Cholesky, and corrected by f64 iterative refinement (residual via an
+      elementwise multiply-reduce matvec — no f64 dot). After scaling the
+      condition is ~1e4-1e6, so eps_f32 * cond < 1 and refinement converges
+      to f64-level accuracy in a few sweeps.
 
     Replaces `_host_schur_solve` (kept as the CPU test oracle): same math,
     no host transfer of the 100k-observation block arrays, jittable into the
@@ -449,8 +502,9 @@ def _dense_schur_solve_f64(U, V, W, g_c, g_p, cam_idx, pt_idx, fix_first_cam):
     Vd = 0.5 * (Vd + jnp.swapaxes(Vd, -1, -2))
     vmax = jnp.maximum(jnp.max(jnp.diagonal(Vd, axis1=-2, axis2=-1), -1), 0.0)
     Vd = Vd + (1e-8 + 1e-6 * vmax)[:, None, None] * jnp.eye(3, dtype=f64)
-    L = jnp.linalg.cholesky(Vd)
-    V_inv = jnp.linalg.inv(Vd)
+    L = _chol3(Vd)
+    V_inv = _inv3_spd(Vd)
+    mv3 = lambda A, x: jnp.sum(A * x[..., None, :], axis=-1)  # no f64 dot
     # dense S via per-point scatter of C = W L^-T (fp32 MXU for the O(n_obs)
     # and O(n_pts * n_cams) work)
     Ct = jax.lax.linalg.triangular_solve(
@@ -466,30 +520,39 @@ def _dense_schur_solve_f64(U, V, W, g_c, g_p, cam_idx, pt_idx, fix_first_cam):
     S = S.at[jnp.arange(n_cams), :, jnp.arange(n_cams), :].add(U.astype(f64))
     S = S.reshape(n_cams * 6, n_cams * 6)
     # rhs b = -(g_c - W V^-1 g_p)
-    s_g = jnp.einsum("pab,pb->pa", V_inv, g_p.astype(f64))
+    s_g = mv3(V_inv, g_p.astype(f64))
     coup = jax.ops.segment_sum(
-        jnp.einsum("kab,kb->ka", W.astype(f64), s_g[pt_idx]), cam_idx, n_cams
+        mv3(W.astype(f64), s_g[pt_idx]), cam_idx, n_cams
     )
     b = -(g_c.astype(f64) - coup).reshape(-1)
-    # Jacobi-scaled f64 Cholesky solve
+    # Jacobi scaling, f32 factorization, f64 iterative refinement
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
-    Ssc = S / (d[:, None] * d[None, :]) + 1e-12 * jnp.eye(
+    Ssc = S / (d[:, None] * d[None, :]) + 1e-10 * jnp.eye(
         n_cams * 6, dtype=f64
     )
-    Lc = jnp.linalg.cholesky(Ssc)
-    y = jax.lax.linalg.triangular_solve(
-        Lc, (b / d)[:, None], left_side=True, lower=True
-    )
-    x = jax.lax.linalg.triangular_solve(
-        Lc, y, left_side=True, lower=True, transpose_a=True
-    )[:, 0]
+    b_sc = b / d
+    Lc = jnp.linalg.cholesky(Ssc.astype(jnp.float32))
+
+    def solve32(r):
+        y = jax.lax.linalg.triangular_solve(
+            Lc, r.astype(jnp.float32)[:, None], left_side=True, lower=True
+        )
+        y = jax.lax.linalg.triangular_solve(
+            Lc, y, left_side=True, lower=True, transpose_a=True
+        )
+        return y[:, 0].astype(f64)
+
+    x = solve32(b_sc)
+    for _ in range(4):
+        resid = b_sc - jnp.sum(Ssc * x[None, :], axis=-1)
+        x = x + solve32(resid)
     delta_c = (x / d).reshape(n_cams, 6)
     # back-substitute points: delta_p = -V^-1 (g_p + W^T delta_c)
     wtd = jax.ops.segment_sum(
-        jnp.einsum("kab,ka->kb", W.astype(f64), delta_c[cam_idx]),
+        mv3(jnp.swapaxes(W, -1, -2).astype(f64), delta_c.astype(f64)[cam_idx]),
         pt_idx, n_pts,
     )
-    delta_p = -jnp.einsum("pab,pb->pa", V_inv, g_p.astype(f64) + wtd)
+    delta_p = -mv3(V_inv, g_p.astype(f64) + wtd)
     return delta_c.astype(jnp.float32), delta_p.astype(jnp.float32)
 
 
@@ -606,7 +669,10 @@ def bundle_adjust_device(
     else:
         full_mask = problem.mask
 
-    with jax.enable_x64(True):
+    # highest matmul precision: TPU's default bf16 matmul passes would
+    # degrade the f32 Cholesky factor below what the f64 iterative
+    # refinement can recover from (cond * eps_bf16 > 1)
+    with jax.enable_x64(True), jax.default_matmul_precision("highest"):
         p, cost = run(
             p0, full_mask, iters, huber_delta, fix_first_cam,
             refilter_every, max_err_px,
