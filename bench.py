@@ -71,7 +71,7 @@ def _smooth_flow_params(matcher):
     return jax.device_put(params)
 
 
-def bench_full_roma(batch: int = 4, iters: int = 3, flow: str = "random") -> dict:
+def bench_full_roma(batch: int = 8, iters: int = 3, flow: str = "random") -> dict:
     from roma_tpu.models.zoo import roma_outdoor
 
     matcher = roma_outdoor()

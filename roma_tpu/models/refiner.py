@@ -214,7 +214,7 @@ class ConvRefiner(nn.Module):
             # Training keeps the XLA path (autodiff into x).
             use_dma = (
                 not train
-                and self.local_corr_radius <= 3
+                and self.local_corr_radius <= 7
                 and x.shape[-1] % 128 == 0
                 and jax.default_backend() == "tpu"
             )

@@ -31,10 +31,11 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, N, H, d = q.shape
-    # v5e-measured block sweep at N=1601: 896-wide blocks are ~1.5x faster
-    # than 256 (fewer grid steps, better MXU occupancy); tiny sequences run
-    # as a single block
-    if N > 896:
+    # v5e-measured block sweep at N=1601: one full-sequence block beats 896
+    # (4.57 vs 4.99 ms at batch 8 incl dispatch — fewer grid steps, ~4% less
+    # padding) which beats 256 by ~1.5x; sequences past 2048 fall back to
+    # 896-wide streaming blocks
+    if N > 2048:
         Np = -(-N // 896) * 896
         block = 896
     else:

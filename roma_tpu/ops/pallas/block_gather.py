@@ -10,10 +10,11 @@ replaces `roma_tpu.ops.local_corr.local_correlation` on TPU for
 
 Key constraints designed around (Mosaic tiled-HBM slicing):
 - dynamic offsets are only legal on UNTILED leading dims, so the source map
-  is pre-arranged as a 5D "8-shift" layout per image
-      f1s[b, s, yb, x, rr, c] = padded[b, yb*8 + rr + s, x, c]
+  is pre-arranged as a 5D "S-shift" layout per image (S = 8 for r <= 3,
+  S = 16 for the scale-16 refiner's r <= 7)
+      f1s[b, s, yb, x, rr, c] = padded[b, yb*S + rr + s, x, c]
   and a window at arbitrary (ys, xs) becomes the fully-aligned slice
-      f1s[b, ys % 8, ys // 8, xs : xs + K2]   ->  (K2, 8, C)
+      f1s[b, ys % S, ys // S, xs : xs + K2]   ->  (K2, S, C)
   (rows rr = 0..K2-1 are exactly padded rows ys .. ys+K2-1).
 - the map is zero-padded K2 pixels per side, so any window whose clamped
   origin was moved is ENTIRELY inside the zero pad (partially-visible
@@ -35,13 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T):
+def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T, S):
     def dma(i):
         b = idx_ref[0, 3 * i]
         ys = idx_ref[0, 3 * i + 1]
         xs = idx_ref[0, 3 * i + 2]
-        s = jax.lax.rem(ys, 8)
-        yb = jax.lax.div(ys, 8)
+        s = jax.lax.rem(ys, S)
+        yb = jax.lax.div(ys, S)
         return pltpu.make_async_copy(
             f1_ref.at[b, s, yb, pl.ds(xs, K2)], buf.at[i], sem
         )
@@ -66,11 +67,26 @@ def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T):
         out_ref[k, :] = jnp.zeros((T,), jnp.float32)
 
 
+def _shift_depth(radius: int) -> int:
+    """Shift-layout depth: 8 rows cover r <= 3; 16 rows cover r <= 7 (the
+    scale-16 refiner). Memory cost of the layout is S copies of the map."""
+    assert radius <= 7, "shift layout covers K2 = 2r+2 <= 16 rows"
+    return 8 if radius <= 3 else 16
+
+
+def _pipeline_depth(radius: int, C: int) -> int:
+    """T in-flight block DMAs, sized so the (T, K2, S, C) bf16 landing
+    buffer stays within ~8 MB of VMEM (multiple of 8, max 128)."""
+    K2 = 2 * radius + 2
+    block = K2 * _shift_depth(radius) * C * 2
+    return max(8, min(128, (8 * 1024 * 1024 // block) // 8 * 8))
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "T", "interpret"))
 def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
-    """f0_flat (N, C); f1s (B, 8, Hb, Wp, 8, C); bidx/ys/xs (N,) int32 ->
+    """f0_flat (N, C); f1s (B, S, Hb, Wp, S, C); bidx/ys/xs (N,) int32 ->
     (N, K2*K2) f32 corner dots (row-major dy, dx). N a multiple of T."""
-    assert radius <= 3, "8-deep shift layout covers K2 = 2r+2 <= 8 rows"
+    S = _shift_depth(radius)
     K2 = 2 * radius + 2
     C = f0_flat.shape[-1]
     N = f0_flat.shape[0]
@@ -79,7 +95,7 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
     idx = jnp.stack([bidx, ys, xs], axis=-1).reshape(n_steps, 1, 3 * T)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, K2=K2, C=C, T=T),
+        functools.partial(_kernel, K2=K2, C=C, T=T, S=S),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((None, 1, 3 * T), lambda s: (s, 0, 0),
@@ -92,7 +108,7 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, NK, T), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T, K2, 8, C), f0_flat.dtype),
+            pltpu.VMEM((T, K2, S, C), f0_flat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -101,17 +117,17 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
     return out.transpose(0, 2, 1).reshape(N, NK)[:, : K2 * K2]
 
 
-def _shift_layout(f1p: jax.Array) -> jax.Array:
-    """(B, Hp, Wp, C) zero-padded map -> (B, 8, Hb, Wp, 8, C) 8-shift layout
-    with f1s[b, s, yb, x, rr] = f1p[b, yb*8 + rr + s, x]."""
+def _shift_layout(f1p: jax.Array, S: int = 8) -> jax.Array:
+    """(B, Hp, Wp, C) zero-padded map -> (B, S, Hb, Wp, S, C) S-shift layout
+    with f1s[b, s, yb, x, rr] = f1p[b, yb*S + rr + s, x]."""
     B, Hp, Wp, C = f1p.shape
-    Hb = (Hp + 7) // 8
-    f1p = jnp.pad(f1p, ((0, 0), (0, Hb * 8 + 7 - Hp), (0, 0), (0, 0)))
+    Hb = (Hp + S - 1) // S
+    f1p = jnp.pad(f1p, ((0, 0), (0, Hb * S + S - 1 - Hp), (0, 0), (0, 0)))
     shifts = [
-        f1p[:, s : s + Hb * 8].reshape(B, Hb, 8, Wp, C).transpose(0, 1, 3, 2, 4)
-        for s in range(8)
+        f1p[:, s : s + Hb * S].reshape(B, Hb, S, Wp, C).transpose(0, 1, 3, 2, 4)
+        for s in range(S)
     ]
-    return jnp.stack(shifts, axis=1)  # (B, 8, Hb, Wp, 8, C)
+    return jnp.stack(shifts, axis=1)  # (B, S, Hb, Wp, S, C)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -145,13 +161,13 @@ def local_correlation_dma(
     # pad K2 per side: a window whose origin clamps is entirely in the pad
     f1p = jnp.pad(f1, ((0, 0), (K2, K2), (K2, K2), (0, 0)))
     Hp, Wp = H + 2 * K2, W + 2 * K2
-    f1s = _shift_layout(f1p)
+    f1s = _shift_layout(f1p, _shift_depth(radius))
 
     ys = jnp.clip(y0i - r + K2, 0, Hp - K2).reshape(B * H * W)
     xs = jnp.clip(x0i - r + K2, 0, Wp - K2).reshape(B * H * W)
     bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H * W)
 
-    T = 128
+    T = _pipeline_depth(radius, C)
     N = B * H * W
     Np = -(-N // T) * T
     padn = Np - N

@@ -148,7 +148,8 @@ def test_refiner_ncw_block_matches_nhwc(rng):
 
 @pytest.mark.parametrize(
     "shape,r",
-    [((2, 12, 16, 128), 3), ((1, 10, 10, 256), 2), ((2, 9, 11, 128), 1)],
+    [((2, 12, 16, 128), 3), ((1, 10, 10, 256), 2), ((2, 9, 11, 128), 1),
+     ((1, 18, 18, 128), 7), ((1, 12, 12, 128), 5)],
 )
 def test_local_correlation_dma_matches_oracle(rng, shape, r):
     """DMA block-gather local corr == the (oracle-exact) XLA path, including
@@ -171,4 +172,4 @@ def test_local_correlation_dma_radius_gate():
     f = jnp.zeros((1, 8, 8, 128), jnp.bfloat16)
     flow = jnp.zeros((1, 8, 8, 2), jnp.float32)
     with pytest.raises(AssertionError):
-        local_correlation_dma(f, f, 4, flow, interpret=True)
+        local_correlation_dma(f, f, 8, flow, interpret=True)
