@@ -223,10 +223,47 @@ def kernel_selftest() -> dict:
     got = local_correlation_dma(f0, f1, 2, fl).astype(jnp.float32)
     out["local_corr_dma_vs_xla"] = float(jnp.max(jnp.abs(got - ref)))
 
+    # fused full-block kernel (dw5x5+affine+relu+1x1 matmul, width-major)
+    # vs its composed reference at the scale-1 refiner shape
+    from roma_tpu.ops.pallas.depthwise import _mm_reference, _mm_tpu_path
+
+    xm = jnp.asarray(rng.standard_normal((2, 120, 160, 24)), jnp.bfloat16)
+    wm = jnp.asarray(rng.standard_normal((5, 5, 24)) * 0.2, jnp.bfloat16)
+    mm = jnp.asarray(rng.standard_normal((24, 24)) * 0.2, jnp.bfloat16)
+    bm = jnp.asarray(rng.standard_normal((24,)) * 0.1, jnp.float32)
+    ref = _mm_reference(xm, wm, scale, shift, mm, bm).astype(jnp.float32)
+    got = _mm_tpu_path(
+        xm.transpose(0, 1, 3, 2), wm, scale, shift, mm, bm
+    ).transpose(0, 1, 3, 2).astype(jnp.float32)
+    out["dw5x5_mm_fused"] = float(jnp.max(jnp.abs(got - ref)))
+
+    # DMA gate ENGAGEMENT (VERDICT r3 #5): the scale-8 refiner at model
+    # shapes must actually lower through the Pallas block-gather kernel — at
+    # C=512 every depthwise runs on XLA's own conv, so the refiner graph
+    # contains a tpu_custom_call IFF the DMA local-corr routing engaged.
+    # A regression flipping `use_dma_local_corr` fails this loudly.
+    from roma_tpu.models.refiner import ConvRefiner, use_dma_local_corr
+    from roma_tpu.ops.corr import coord_grid
+
+    assert use_dma_local_corr(False, 3, 512), "DMA gate flipped off!"
+    ref_mod = ConvRefiner(
+        hidden_dim=2 * 512 + 64 + 49, displacement_emb_dim=64,
+        local_corr_radius=3, hidden_blocks=1,
+    )
+    f8 = jnp.zeros((2, 70, 70, 512), jnp.bfloat16)
+    fl8 = jnp.broadcast_to(coord_grid(70, 70), (2, 70, 70, 2))
+    p8 = jax.eval_shape(ref_mod.init, jax.random.PRNGKey(0), f8, f8, fl8)
+    p8 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p8)
+    hlo = jax.jit(
+        lambda p, a, b, fl: ref_mod.apply(p, a, b, fl)
+    ).lower(p8, f8, f8, fl8).as_text()
+    out["dma_gate_engaged"] = float(0.0 if "tpu_custom_call" in hlo else 1.0)
+
     out["value"] = max(
         out["flash_attention"], out["dw5x5_nhwc"], out["dw5x5_nhcw"],
         out["fused_corr_softmax"], out["grid_sample"],
-        out["local_corr_dma_vs_xla"],
+        out["local_corr_dma_vs_xla"], out["dw5x5_mm_fused"],
+        out["dma_gate_engaged"],
     )
     out["vs_baseline"] = 1.0
     return out

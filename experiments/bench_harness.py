@@ -3,11 +3,15 @@ protocol (PIL load -> host resize -> two-pass match -> balanced sampling ->
 K-rescale -> 5x shuffled RANSAC) with the real full-RoMa matcher on
 synthetic images (PERF.md; VERDICT r2 #7 asked for this number).
 
-The harness runs pairs serially at batch 1 (the reference protocol), so this
-is a different regime from bench.py's batched dense-matching throughput —
-it includes sampling/KDE and the host-side robust estimator.
+`--batch 1` (default) runs the reference-shaped serial loop: one pair at a
+time, the chip idle during every host RANSAC call. `--batch N` runs the
+TPU-first batched path (VERDICT r3 #2): stacked jitted matching, vmapped
+sampling, prefetched host IO, threaded RANSAC — protocol-identical errors,
+different schedule. Either way this regime differs from bench.py's dense
+throughput: it includes sampling/KDE and the host-side robust estimator.
 
-Usage: python experiments/bench_harness.py [--pairs 10] [--backend native]
+Usage: python experiments/bench_harness.py [--pairs 10] [--batch 8]
+                                           [--backend native]
 """
 
 from __future__ import annotations
@@ -57,6 +61,8 @@ def main():
     ap.add_argument("--backend", default="native",
                     choices=["native", "cv2", "numpy"])
     ap.add_argument("--sample-num", type=int, default=5000)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -73,12 +79,14 @@ def main():
         bench = MegaDepthPoseEstimationBenchmark(
             data_root=root, scene_names=["scene.npz"],
             pose_backend=args.backend, sample_num=args.sample_num,
+            batch_size=args.batch, workers=args.workers,
         )
         # warm: compile both passes + sampling at the fixed resolutions
         warm = MegaDepthPoseEstimationBenchmark(
             data_root=root, scene_names=["scene.npz"],
             pose_backend=args.backend, sample_num=args.sample_num,
-            shard=(0, args.pairs),  # 1 pair
+            batch_size=args.batch, workers=args.workers,
+            shard=(0, args.pairs),  # 1 pair (padded to a full batch if batched)
         )
         t0 = time.perf_counter()
         warm.collect_errors(matcher)
@@ -88,7 +96,8 @@ def main():
         errors = bench.collect_errors(matcher)
         dt = time.perf_counter() - t0
         print(
-            f"harness throughput: {args.pairs / dt:.2f} pairs/s "
+            f"harness throughput (batch={args.batch}): "
+            f"{args.pairs / dt:.2f} pairs/s "
             f"({dt / args.pairs * 1e3:.0f} ms/pair incl match+sample+"
             f"{args.backend}-RANSAC x5; {len(errors)} pose estimates)"
         )

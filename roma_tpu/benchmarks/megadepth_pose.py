@@ -11,6 +11,16 @@ Differences (TPU-shaped, not protocol-changing):
   runs at the matcher's fixed jit resolution instead of per-image shapes
 - `shard=(i, n)` strides the pair list for multi-host evaluation; partial
   results carry raw errors so hosts can be merged before the AUC reduction
+- `batch_size > 1` switches to the TPU-first batched path: pairs are stacked
+  on the batch axis through one jitted two-pass forward + vmapped sampling,
+  host image load/resize runs on a prefetching thread pool, and the 5x
+  RANSAC repetitions run on a worker pool overlapped with the next batch's
+  matching (the reference loops pairs serially at batch 1,
+  megadepth_pose_estimation_benchmark.py:33-42, leaving the accelerator
+  idle during every host RANSAC call). RNG use (sampling keys, shuffle
+  permutations) follows the exact serial order, so batched results are
+  protocol-identical; the per-pair estimates only move at jit-batching
+  numerics level.
 """
 
 from __future__ import annotations
@@ -21,6 +31,7 @@ import numpy as np
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from roma_tpu.utils.geometry import compute_pose_error, compute_relative_pose, pose_auc
 from roma_tpu.benchmarks.pose_backends import get_pose_backend
@@ -59,6 +70,8 @@ class MegaDepthPoseEstimationBenchmark:
         test_every: int = 1,
         shard: tuple[int, int] = (0, 1),
         seed: int = 0,
+        batch_size: int = 1,
+        workers: int = 8,
     ) -> None:
         self.seed = seed
         self.data_root = data_root
@@ -72,6 +85,8 @@ class MegaDepthPoseEstimationBenchmark:
         self.num_ransac_runs = num_ransac_runs
         self.test_every = test_every
         self.shard = shard
+        self.batch_size = batch_size
+        self.workers = workers
 
     def _load_image(self, path: str) -> tuple["Image.Image", int, int]:
         # hand the matcher the PIL image: RomaMatcher then resizes on HOST
@@ -86,16 +101,11 @@ class MegaDepthPoseEstimationBenchmark:
         errors = self.collect_errors(matcher)
         return summarize_pose_errors(np.asarray(errors))
 
-    def collect_errors(self, matcher) -> list[float]:
-        """Raw per-repetition pose errors (merge across hosts, then AUC)."""
-        tot_e_pose: list[float] = []
-        # seeded shuffle: the reference uses the process-global numpy RNG
-        # (megadepth_pose_estimation_benchmark.py:77); a private generator
-        # keeps the protocol (distinct shuffles per repetition) while making
-        # results order-independent and reproducible
-        shuffle_rng = np.random.default_rng(self.seed)
+    def _pair_list(self) -> list[tuple]:
+        """Pair metadata in protocol order, shard-strided:
+        (path_a, path_b, K1, K2, R, t)."""
+        items = []
         pair_counter = 0
-        key = jax.random.PRNGKey(0)
         for scene in self.scenes:
             pairs = scene["pair_infos"]
             intrinsics = scene["intrinsics"]
@@ -113,50 +123,215 @@ class MegaDepthPoseEstimationBenchmark:
                 R, t = compute_relative_pose(
                     T1[:3, :3], T1[:3, 3], T2[:3, :3], T2[:3, 3]
                 )
+                items.append((
+                    os.path.join(self.data_root, im_paths[idx1]),
+                    os.path.join(self.data_root, im_paths[idx2]),
+                    K1, K2, R, t,
+                ))
+        return items
 
-                im_a, w1, h1 = self._load_image(
-                    os.path.join(self.data_root, im_paths[idx1])
-                )
-                im_b, w2, h2 = self._load_image(
-                    os.path.join(self.data_root, im_paths[idx2])
-                )
-                warp, certainty = matcher.match(im_a, im_b)
-                key, sub = jax.random.split(key)
-                sparse, _ = matcher.sample(warp, certainty, self.sample_num, key=sub)
-                sparse = np.asarray(sparse)
+    def _rescale(self, K1, K2, w1, h1, w2, h2):
+        """K-rescale to max-dim 1200 (paper protocol)."""
+        s1, s2 = 1200 / max(w1, h1), 1200 / max(w2, h2)
+        K1s, K2s = K1.copy(), K2.copy()
+        K1s[:2] *= s1
+        K2s[:2] *= s2
+        return K1s, K2s, (s1 * w1, s1 * h1, s2 * w2, s2 * h2)
 
-                # K-rescale to max-dim 1200 (paper protocol)
-                s1, s2 = 1200 / max(w1, h1), 1200 / max(w2, h2)
-                w1s, h1s, w2s, h2s = s1 * w1, s1 * h1, s2 * w2, s2 * h2
-                K1s, K2s = K1.copy(), K2.copy()
-                K1s[:2] *= s1
-                K2s[:2] *= s2
+    def _estimate_reps(self, kpts1, kpts2, K1s, K2s, R, t, norm_threshold,
+                       perms) -> list[float]:
+        """The num_ransac_runs shuffled repetitions for one pair. Shuffles
+        compose cumulatively (protocol: the arrays are shuffled in place each
+        repetition). Thread-safe: pure numpy + the (GIL-releasing) estimator."""
+        errs = []
+        for shuffling in perms:
+            kpts1, kpts2 = kpts1[shuffling], kpts2[shuffling]
+            try:
+                ret = self.estimate_pose(kpts1, kpts2, K1s, K2s, norm_threshold)
+                if ret is None:
+                    raise ValueError("pose estimation failed")
+                R_est, t_est, _mask = ret
+                T_est = np.concatenate((R_est, t_est.reshape(3, 1)), axis=-1)
+                e_t, e_R = compute_pose_error(T_est, R, t)
+                e_pose = max(e_t, e_R)
+            except Exception as e:  # noqa: BLE001 — protocol: failures count 90 deg
+                print(repr(e))
+                e_pose = 90.0
+            errs.append(float(e_pose))
+        return errs
 
-                kpts1 = np.asarray(
-                    matcher.to_pixel_coordinates(sparse[:, :2], h1s, w1s)
-                )
-                kpts2 = np.asarray(
-                    matcher.to_pixel_coordinates(sparse[:, 2:], h2s, w2s)
-                )
+    def collect_errors(self, matcher) -> list[float]:
+        """Raw per-repetition pose errors (merge across hosts, then AUC)."""
+        if self.batch_size > 1:
+            return self._collect_errors_batched(matcher)
+        tot_e_pose: list[float] = []
+        # seeded shuffle: the reference uses the process-global numpy RNG
+        # (megadepth_pose_estimation_benchmark.py:77); a private generator
+        # keeps the protocol (distinct shuffles per repetition) while making
+        # results order-independent and reproducible
+        shuffle_rng = np.random.default_rng(self.seed)
+        key = jax.random.PRNGKey(0)
+        for path_a, path_b, K1, K2, R, t in self._pair_list():
+            im_a, w1, h1 = self._load_image(path_a)
+            im_b, w2, h2 = self._load_image(path_b)
+            warp, certainty = matcher.match(im_a, im_b)
+            key, sub = jax.random.split(key)
+            sparse, _ = matcher.sample(warp, certainty, self.sample_num, key=sub)
+            sparse = np.asarray(sparse)
 
-                norm_threshold = 0.5 / (
-                    np.mean(np.abs(K1s[:2, :2])) + np.mean(np.abs(K2s[:2, :2]))
-                )
-                for _rep in range(self.num_ransac_runs):
-                    shuffling = shuffle_rng.permutation(len(kpts1))
-                    kpts1, kpts2 = kpts1[shuffling], kpts2[shuffling]
-                    try:
-                        ret = self.estimate_pose(
-                            kpts1, kpts2, K1s, K2s, norm_threshold
-                        )
-                        if ret is None:
-                            raise ValueError("pose estimation failed")
-                        R_est, t_est, _mask = ret
-                        T_est = np.concatenate((R_est, t_est.reshape(3, 1)), axis=-1)
-                        e_t, e_R = compute_pose_error(T_est, R, t)
-                        e_pose = max(e_t, e_R)
-                    except Exception as e:  # noqa: BLE001 — protocol: failures count 90 deg
-                        print(repr(e))
-                        e_pose = 90.0
-                    tot_e_pose.append(float(e_pose))
+            K1s, K2s, (w1s, h1s, w2s, h2s) = self._rescale(K1, K2, w1, h1, w2, h2)
+            kpts1 = np.asarray(
+                matcher.to_pixel_coordinates(sparse[:, :2], h1s, w1s)
+            )
+            kpts2 = np.asarray(
+                matcher.to_pixel_coordinates(sparse[:, 2:], h2s, w2s)
+            )
+            norm_threshold = 0.5 / (
+                np.mean(np.abs(K1s[:2, :2])) + np.mean(np.abs(K2s[:2, :2]))
+            )
+            perms = [
+                shuffle_rng.permutation(len(kpts1))
+                for _ in range(self.num_ransac_runs)
+            ]
+            tot_e_pose.extend(self._estimate_reps(
+                kpts1, kpts2, K1s, K2s, R, t, norm_threshold, perms
+            ))
         return tot_e_pose
+
+    def _collect_errors_batched(self, matcher) -> list[float]:
+        """Batched path: prefetching host load/prep -> stacked jitted match ->
+        vmapped sampling -> threaded RANSAC. Identical RNG order to serial.
+
+        Falls back to per-pair match/sample inside each batch for matchers
+        without the batched API (e.g. test oracles) — image loading and pose
+        estimation still overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = self._pair_list()
+        B = self.batch_size
+        shuffle_rng = np.random.default_rng(self.seed)
+        key = jax.random.PRNGKey(0)
+        fast = (
+            hasattr(matcher, "match_prepped")
+            and hasattr(matcher, "host_resize_np")
+        )
+        cfg = getattr(matcher, "cfg", None)
+
+        def load(item):
+            path_a, path_b = item[0], item[1]
+            im_a, w1, h1 = self._load_image(path_a)
+            im_b, w2, h2 = self._load_image(path_b)
+            if not fast:
+                return im_a, im_b, None, None, (w1, h1, w2, h2)
+            # uint8 resizes: normalization happens on device (the tunneled
+            # host->device link is the batched path's bottleneck at f32)
+            hc, wc = cfg.coarse_resolution
+            a = matcher.host_resize_np(im_a, hc, wc)
+            b = matcher.host_resize_np(im_b, hc, wc)
+            a2 = b2 = None
+            if cfg.upsample_preds:
+                hu, wu = cfg.upsample_resolution
+                a2 = matcher.host_resize_np(im_a, hu, wu)
+                b2 = matcher.host_resize_np(im_b, hu, wu)
+            return a, b, a2, b2, (w1, h1, w2, h2)
+
+        n = len(items)
+        errors: list[list[float] | None] = [None] * n
+        with ThreadPoolExecutor(self.workers) as loaders, \
+                ThreadPoolExecutor(1) as uploader, \
+                ThreadPoolExecutor(self.workers) as posers:
+            load_futs: dict[int, object] = {}
+
+            def ensure_loads(upto):
+                for j in range(min(upto, n)):
+                    if j not in load_futs:
+                        load_futs[j] = loaders.submit(load, items[j])
+
+            def upload(futs):
+                """Runs on the 1-thread uploader: waits for the batch's
+                loads, stacks, and ships the uint8 stacks to the device so
+                batch k+1's transfer overlaps batch k's matching."""
+                loaded = [f.result() for f in futs]
+                nb = len(loaded)
+                if not fast:
+                    return loaded, None
+                # pad partial batches (repeat last) so the jit compiles
+                # exactly once per batch shape
+                padded = loaded + [loaded[-1]] * (B - nb)
+                a = jax.device_put(np.stack([x[0] for x in padded]))
+                b = jax.device_put(np.stack([x[1] for x in padded]))
+                if cfg.upsample_preds:
+                    a2 = jax.device_put(np.stack([x[2] for x in padded]))
+                    b2 = jax.device_put(np.stack([x[3] for x in padded]))
+                else:
+                    a2 = b2 = None
+                return loaded, (a, b, a2, b2)
+
+            def submit_upload(start):
+                stop = min(start + B, n)
+                ensure_loads(stop + 2 * B)
+                futs = [load_futs.pop(j) for j in range(start, stop)]
+                return uploader.submit(upload, futs)
+
+            pose_futs = []
+            pending = submit_upload(0)
+            for start in range(0, n, B):
+                stop = min(start + B, n)
+                loaded, arrays = pending.result()
+                if stop < n:
+                    pending = submit_upload(stop)
+                nb = stop - start
+                if fast:
+                    warps, certs = matcher.match_prepped(*arrays)
+                else:
+                    outs = [matcher.match(x[0], x[1]) for x in loaded]
+                    warps = jnp.stack([o[0] for o in outs])
+                    certs = jnp.stack([o[1] for o in outs])
+                subs = []
+                for _ in range(nb):
+                    key, sub = jax.random.split(key)
+                    subs.append(sub)
+                if fast and hasattr(matcher, "sample_batched"):
+                    sparse_all = np.asarray(matcher.sample_batched(
+                        warps, certs, self.sample_num,
+                        subs + [subs[-1]] * (B - nb),
+                    )[0])[:nb]
+                else:
+                    sparse_all = np.stack([
+                        np.asarray(matcher.sample(
+                            warps[i], certs[i], self.sample_num, key=subs[i]
+                        )[0])
+                        for i in range(nb)
+                    ])
+                for i in range(nb):
+                    path_a, path_b, K1, K2, R, t = items[start + i]
+                    w1, h1, w2, h2 = loaded[i][4]
+                    sparse = sparse_all[i]
+                    K1s, K2s, (w1s, h1s, w2s, h2s) = self._rescale(
+                        K1, K2, w1, h1, w2, h2
+                    )
+                    kpts1 = np.asarray(
+                        matcher.to_pixel_coordinates(sparse[:, :2], h1s, w1s)
+                    )
+                    kpts2 = np.asarray(
+                        matcher.to_pixel_coordinates(sparse[:, 2:], h2s, w2s)
+                    )
+                    norm_threshold = 0.5 / (
+                        np.mean(np.abs(K1s[:2, :2]))
+                        + np.mean(np.abs(K2s[:2, :2]))
+                    )
+                    perms = [
+                        shuffle_rng.permutation(len(kpts1))
+                        for _ in range(self.num_ransac_runs)
+                    ]
+                    idx = start + i
+                    pose_futs.append((idx, posers.submit(
+                        self._estimate_reps, kpts1, kpts2, K1s, K2s, R, t,
+                        norm_threshold, perms,
+                    )))
+            for idx, fut in pose_futs:
+                errors[idx] = fut.result()
+        out: list[float] = []
+        for e in errors:
+            out.extend(e)
+        return out

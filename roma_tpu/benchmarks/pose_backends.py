@@ -21,19 +21,28 @@ except Exception:  # pragma: no cover
 
 from roma_tpu.estimation.essential import estimate_pose as _estimate_pose_native
 
-# attempt the C++ build/bind ONCE at import: a missing build falls back to
-# numpy with a visible warning, while per-call estimator exceptions propagate
-# (a silent bare-except here could mask real C++ bugs inside benchmark
-# numbers — ADVICE r2)
-try:
-    from roma_tpu.estimation.native import estimate_pose_cpp as _estimate_pose_cpp
-    from roma_tpu.estimation.native import load_library as _load_native_library
+# The C++ build/bind happens ONCE, lazily, on the first native-backend call
+# (ADVICE r3: a module-import side effect triggered a compiler run for every
+# importer, not just native-backend users). The outcome — the bound function
+# or the bind error — is memoized, so the semantics stay "bind once, warn
+# once, fall back to numpy", while per-call estimator exceptions propagate
+# (a silent bare-except could mask real C++ bugs inside benchmark numbers —
+# ADVICE r2).
+_NATIVE_BIND: list | None = None  # [fn | None, Exception | None]
 
-    _load_native_library()  # build/bind now (cached .so makes this a no-op)
-    _NATIVE_IMPORT_ERROR: Exception | None = None
-except Exception as _e:  # pragma: no cover - build-environment dependent
-    _estimate_pose_cpp = None
-    _NATIVE_IMPORT_ERROR = _e
+
+def _bind_native():
+    global _NATIVE_BIND
+    if _NATIVE_BIND is None:
+        try:
+            from roma_tpu.estimation.native import estimate_pose_cpp
+            from roma_tpu.estimation.native import load_library
+
+            load_library()  # build/bind now (cached .so makes this a no-op)
+            _NATIVE_BIND = [estimate_pose_cpp, None]
+        except Exception as e:  # pragma: no cover - build-env dependent
+            _NATIVE_BIND = [None, e]
+    return _NATIVE_BIND
 
 
 def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
@@ -68,17 +77,18 @@ def estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
 def estimate_pose_native(kpts0, kpts1, K0, K1, norm_thresh, conf=0.99999):
     """C++ 5-point + MAGSAC + LO; numpy fallback if the BUILD is missing
     (estimator errors at call time propagate — see module docstring)."""
-    if _estimate_pose_cpp is None:
+    fn, err = _bind_native()
+    if fn is None:
         import warnings
 
         warnings.warn(
-            "native C++ estimator unavailable "
-            f"({_NATIVE_IMPORT_ERROR!r}); using the numpy backend",
+            f"native C++ estimator unavailable ({err!r}); "
+            "using the numpy backend",
             RuntimeWarning,
             stacklevel=2,
         )
         return estimate_pose_numpy(kpts0, kpts1, K0, K1, norm_thresh, conf)
-    return _estimate_pose_cpp(kpts0, kpts1, K0, K1, norm_thresh, conf)
+    return fn(kpts0, kpts1, K0, K1, norm_thresh, conf)
 
 
 def get_pose_backend(name: str = "auto"):

@@ -267,6 +267,7 @@ class RomaMatcher:
         )
         # fused resize+normalize for both images in one dispatch
         self._prep = jax.jit(self._preprocess, static_argnames=("hs", "ws"))
+        self._norm_jit = jax.jit(self._norm_u8)
 
     @staticmethod
     def _preprocess(im_a, im_b, *, hs, ws):
@@ -324,20 +325,24 @@ class RomaMatcher:
         return (im - IMAGENET_MEAN) / IMAGENET_STD
 
     @staticmethod
-    def _host_prep(pil_im, hs: int, ws: int) -> jax.Array:
+    def _norm_u8(x: jax.Array) -> jax.Array:
+        """uint8 [0,255] -> ImageNet-normalized float32, on device. The
+        host->device link on the tunneled runtime moves ~38 MB/s, so images
+        ship as uint8 (4x fewer bytes than f32) and normalize on-chip —
+        identical f32 math to the host path."""
+        x = x.astype(jnp.float32) / 255.0
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def _host_prep(self, pil_im, hs: int, ws: int) -> jax.Array:
         """Reference-protocol host preprocessing for PIL inputs: PIL bicubic
         resize (torchvision Resize on a PIL image = PIL's antialiased
-        bicubic, utils.py:165-174) + /255 + ImageNet normalize, all on host.
-        The device graphs then only ever see the FIXED (hs, ws) shapes, so a
-        real-data eval over hundreds of unique image sizes compiles O(1)
-        times instead of once per size (the device `_prep` jit is keyed on
-        the raw input shape)."""
-        from PIL import Image
-
-        r = pil_im.resize((ws, hs), Image.BICUBIC)
-        x = np.asarray(r, np.float32) / 255.0
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        return jnp.asarray(x[None])
+        bicubic, utils.py:165-174), shipped uint8, + /255 + ImageNet
+        normalize on device. The device graphs then only ever see the FIXED
+        (hs, ws) shapes, so a real-data eval over hundreds of unique image
+        sizes compiles O(1) times instead of once per size (the device
+        `_prep` jit is keyed on the raw input shape)."""
+        r = self.host_resize_np(pil_im, hs, ws)
+        return self._norm_jit(jnp.asarray(r[None]))
 
     def match(self, im_a, im_b, batched: bool = False):
         """im_a, im_b: (H, W, 3) or (B, H, W, 3) float [0,1], image paths, or
@@ -398,6 +403,76 @@ class RomaMatcher:
         return sample_matches(
             key, warp, certainty, num=num, sample_thresh=self.cfg.sample_thresh
         )
+
+    # ---- batched-eval fast path (VERDICT r3 #2: the reference harness runs
+    # pairs serially at batch 1, megadepth_pose_estimation_benchmark.py:33-42;
+    # TPU-first eval stacks pairs on the batch axis so the chip never idles
+    # between host RANSAC calls). The harness feeds these when present.
+
+    @staticmethod
+    def host_resize_np(pil_im, hs: int, ws: int) -> np.ndarray:
+        """Protocol host resize only: PIL bicubic -> (hs, ws, 3) uint8.
+        Safe to call from loader threads; normalization happens on device
+        (`_norm_u8`) so the host->device transfer ships 1/4 the bytes."""
+        from PIL import Image
+
+        r = pil_im.convert("RGB").resize((ws, hs), Image.BICUBIC)
+        return np.asarray(r, np.uint8)
+
+    def host_prep_np(self, pil_im, hs: int, ws: int) -> np.ndarray:
+        """PIL bicubic resize + ImageNet normalize on host -> (hs, ws, 3)
+        float32 (prefer host_resize_np + uint8 shipping on slow links)."""
+        x = self.host_resize_np(pil_im, hs, ws).astype(np.float32) / 255.0
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def _as_normalized(self, x) -> jax.Array:
+        x = jnp.asarray(x)
+        return self._norm_jit(x) if x.dtype == jnp.uint8 else x
+
+    def match_prepped(self, a, b, a2=None, b2=None):
+        """Two-pass match on already-prepped batches: `a`/`b` (B, hc, wc, 3)
+        at coarse_resolution, `a2`/`b2` (B, hu, wu, 3) at upsample_resolution
+        (required iff cfg.upsample_preds) — either host_prep_np-normalized
+        float32 or host_resize_np uint8 (normalized on device). Returns
+        batched (warp, certainty) exactly like match(batched=True)."""
+        cfg = self.cfg
+        hs, ws = cfg.coarse_resolution
+        corresps = self._fwd(
+            self.params, self._as_normalized(a), self._as_normalized(b)
+        )
+        cert16 = corresps[16]["certainty"] if cfg.attenuate_cert else None
+        if cfg.upsample_preds:
+            hs, ws = cfg.upsample_resolution
+            finest = corresps[1]
+            sf = float(np.sqrt(
+                (hs * ws) / (cfg.coarse_resolution[0] * cfg.coarse_resolution[1])
+            ))
+            corresps = self._fwd_up(
+                self.params, self._as_normalized(a2), self._as_normalized(b2),
+                finest["flow"], finest["certainty"], sf,
+            )
+        if cert16 is None:
+            cert16 = jnp.zeros_like(corresps[1]["certainty"][:, :1, :1])
+        return self._post(
+            corresps[1]["flow"], corresps[1]["certainty"], cert16,
+            hs=hs, ws=ws, symmetric=cfg.symmetric, attenuate=cfg.attenuate_cert,
+        )
+
+    def sample_batched(self, warps, certs, num: int, keys):
+        """Per-pair balanced sampling vmapped over the batch axis: one
+        dispatch for B pairs (identical per-pair math to `sample`)."""
+        if not hasattr(self, "_sample_vmapped"):
+            self._sample_vmapped = {}
+        fn = self._sample_vmapped.get(num)
+        if fn is None:
+            thresh = self.cfg.sample_thresh
+            fn = jax.jit(jax.vmap(
+                lambda k, w, c: sample_matches(
+                    k, w, c, num=num, sample_thresh=thresh
+                )
+            ))
+            self._sample_vmapped[num] = fn
+        return fn(jnp.stack(list(keys)), warps, certs)
 
     def to_pixel_coordinates(self, coords, h_a, w_a, h_b=None, w_b=None):
         if coords.shape[-1] == 2:

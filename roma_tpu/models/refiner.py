@@ -28,7 +28,19 @@ from roma_tpu.ops.corr import coord_grid
 from roma_tpu.ops.grid_sample import grid_sample
 from roma_tpu.ops.local_corr import local_correlation
 from roma_tpu.ops.pallas.block_gather import local_correlation_dma
-from roma_tpu.ops.pallas.depthwise import dw5x5_affine_relu
+from roma_tpu.ops.pallas.depthwise import dw5x5_affine_relu, dw5x5_mm_chain
+
+
+def use_dma_local_corr(train: bool, radius: int, channels: int) -> bool:
+    """Gate for routing local correlation through the DMA block-gather
+    Pallas kernel (module-level so bench.py --selftest can assert the model
+    shapes actually engage it — a silent flip costs ~0.7 pairs/s)."""
+    return (
+        not train
+        and radius <= 7
+        and channels % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
 
 
 class _ConvParams(nn.Module):
@@ -82,11 +94,14 @@ class DWBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, ncw: bool = False
-    ) -> jax.Array:
-        """ncw=True: x is (B, H, C, W) width-major (inference fast path for
-        narrow channels; the caller owns the single transpose in/out)."""
-        in_c = x.shape[-2] if ncw else x.shape[-1]
+        self, x: jax.Array | None, train: bool = False, collect: bool = False
+    ) -> jax.Array | tuple:
+        """collect=True: register the params and return the inference-fused
+        tensors (dw kernel (5,5,C), BN-folded scale/shift (C,), 1x1 weights
+        (C,C), bias (C,)) WITHOUT computing — the ConvRefiner stacks them
+        and runs all blocks through one chained Pallas call
+        (ops/pallas/depthwise.py::dw5x5_mm_chain)."""
+        in_c = self.features if collect else x.shape[-1]
         groups = in_c if self.depthwise else 1
         k = self.kernel_size
         kernel, cbias = _ConvParams(
@@ -102,21 +117,15 @@ class DWBlock(nn.Module):
             and in_c == self.features
             and not self.is_mutable_collection("batch_stats")
         )
-        if ncw:
-            assert fused_ok, "NHCW layout is an inference-only fast path"
+        if collect:
+            assert fused_ok, "fused chain is an inference-only fast path"
             inv = scale / jnp.sqrt(ra_var.value + self.bn_eps)
-            x = dw5x5_affine_relu(
-                x.astype(self.dtype),
+            return (
                 kernel[:, :, 0, :].astype(self.dtype),
                 inv,
                 (cbias - ra_mean.value) * inv + bbias,
-                "NHCW",
-            )
-            return (
-                jnp.einsum(
-                    "bhcw,cd->bhdw", x, k2[0, 0].astype(self.dtype)
-                )
-                + b2.astype(self.dtype)[:, None]
+                k2[0, 0],
+                b2,
             )
         if fused_ok:
             inv = scale / jnp.sqrt(ra_var.value + self.bn_eps)
@@ -207,16 +216,14 @@ class ConvRefiner(nn.Module):
             #
             # inference on TPU routes through the DMA block-gather Pallas
             # kernel (ops/pallas/block_gather.py) when the window fits its
-            # 8-deep shift layout (r <= 3 -> scales 8/4) and C is a lane
-            # multiple: per-pixel block DMAs pipeline at ~160-190 GB/s vs
+            # shift layout (8-deep for r <= 3 -> scales 8/4; 16-deep for
+            # r <= 7 -> the scale-16 refiner) and C is a lane multiple:
+            # per-pixel block DMAs pipeline at ~160-190 GB/s vs
             # the XLA gather emitter's 49-65 GB/s on this access pattern —
             # 2.5-3.3x at the model shapes (experiments/profile_local_corr).
             # Training keeps the XLA path (autodiff into x).
-            use_dma = (
-                not train
-                and self.local_corr_radius <= 7
-                and x.shape[-1] % 128 == 0
-                and jax.default_backend() == "tpu"
+            use_dma = use_dma_local_corr(
+                train, self.local_corr_radius, x.shape[-1]
             )
             corr_fn = local_correlation_dma if use_dma else local_correlation
             corr = corr_fn(
@@ -229,9 +236,13 @@ class ConvRefiner(nn.Module):
         d = jnp.concatenate(parts, axis=-1)
 
         # narrow-channel refiners (scale 1: 24ch) run the whole block stack
-        # width-major at inference: one transpose in/out instead of HBM
-        # layout copies around every fused depthwise kernel (18 copies of
-        # ~1.9 ms each at 864^2 on v5e)
+        # width-major at inference: one transpose in/out, each block one
+        # fused Pallas kernel (dw taps + affine + relu on the VPU, the 1x1
+        # as an MXU matmul over the same VMEM band) instead of HBM round
+        # trips between the depthwise and the 1x1. Tried and rejected for
+        # scale 2 (144ch): in-model XLA NHWC pipelines those blocks at
+        # ~2.2 ms vs ~4.8 ms through the width-major kernel (isolated-op
+        # probes mislead here — experiments/probe_refiner_blocks.py)
         ncw = (
             not train
             and self.hidden_dim < 64
@@ -241,20 +252,33 @@ class ConvRefiner(nn.Module):
             and not self.is_mutable_collection("batch_stats")
         )
         ko, bo = _ConvParams((1, 1, self.hidden_dim, 3), name="out_conv")()
-        if ncw:
-            d = d.transpose(0, 1, 3, 2)
         # remat each block in training: the 9-block stacks at 5 scales are
         # the activation-memory hog of the 560^2 train graph (without this
         # the batch-2 step OOMs a 16 GB v5e); recompute-in-backward trades
         # ~15% FLOPs for fitting
-        block_cls = nn.remat(DWBlock, static_argnums=(2, 3)) if train else DWBlock
-        d = block_cls(
-            self.hidden_dim, self.kernel_size, dtype=self.dtype, name="block_in"
-        )(d, train, ncw)
-        for i in range(self.hidden_blocks):
-            d = block_cls(
-                self.hidden_dim, self.kernel_size, dtype=self.dtype, name=f"block_{i}"
-            )(d, train, ncw)
+        block_cls = nn.remat(DWBlock, static_argnums=(2,)) if train else DWBlock
+        blocks = [
+            block_cls(
+                self.hidden_dim, self.kernel_size, dtype=self.dtype, name=n
+            )
+            for n in ["block_in"] + [f"block_{i}" for i in range(self.hidden_blocks)]
+        ]
+        if ncw:
+            # collect every block's inference-fused params and run the whole
+            # stack through the chained padded-frame Pallas kernel: one
+            # transpose+pad in, one slice out, zero inter-block copies
+            cols = [blk(None, False, True) for blk in blocks]
+            d = dw5x5_mm_chain(
+                d.astype(self.dtype),
+                jnp.stack([c[0] for c in cols]),
+                jnp.stack([c[1] for c in cols]),
+                jnp.stack([c[2] for c in cols]),
+                jnp.stack([c[3] for c in cols]),
+                jnp.stack([c[4] for c in cols]),
+            )
+        else:
+            for blk in blocks:
+                d = blk(d, train)
         # fp32 out head (reference matcher.py:141-143)
         if ncw:
             out = jnp.einsum(

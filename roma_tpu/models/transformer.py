@@ -26,16 +26,18 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     at RoMa's 1601 coarse tokens that is ~6 ms/block on v5e, 92% of each
     ViT block (the entire DINOv2 encode is 24 such blocks). The streaming
     kernel never leaves VMEM for the logits. Sequences are padded to a
-    256-multiple with segment ids masking pad<->real attention (padded
+    128-multiple with segment ids masking pad<->real attention (padded
     query rows are sliced off afterwards)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, N, H, d = q.shape
     # v5e-measured block sweep at N=1601: one full-sequence block beats 896
     # (4.57 vs 4.99 ms at batch 8 incl dispatch — fewer grid steps, ~4% less
-    # padding) which beats 256 by ~1.5x; sequences past 2048 fall back to
-    # 896-wide streaming blocks
-    if N > 2048:
+    # padding) which beats 256 by ~1.5x. Cutoff at 1664 = the measured padded
+    # size: the kernel holds a block_q x block_k f32 score tile in VMEM
+    # (1664^2*4 = 11 MB; 2048^2 would be 16.8 MB > v5e VMEM — ADVICE r3);
+    # longer sequences use 896-wide streaming blocks
+    if N > 1664:
         Np = -(-N // 896) * 896
         block = 896
     else:

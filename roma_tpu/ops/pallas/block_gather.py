@@ -36,32 +36,78 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, f0_ref, f1_ref, out_ref, buf, sem, *, K2, C, T, S):
-    def dma(i):
-        b = idx_ref[0, 3 * i]
-        ys = idx_ref[0, 3 * i + 1]
-        xs = idx_ref[0, 3 * i + 2]
-        s = jax.lax.rem(ys, S)
-        yb = jax.lax.div(ys, S)
-        return pltpu.make_async_copy(
-            f1_ref.at[b, s, yb, pl.ds(xs, K2)], buf.at[i], sem
-        )
+def _kernel(idx_cur, idx_nxt, f0_ref, f1_ref, out_ref, buf, sem0, sem1,
+            *, K2, C, T, S, n_steps):
+    """Double-buffered: while step s's corner dots run on the VPU, step
+    s+1's T block DMAs are already in flight into the other half of `buf`
+    (round 3 serialized fire->wait->compute per step at ~180 GB/s effective;
+    overlapping compute under the copies recovers most of the ~330 GB/s the
+    DMA engines sustain on this access pattern — probe_dma_gather).
 
-    # phase A: fire all T fetches (deep pipeline — the DMA engine sustains
-    # ~330 GB/s with many outstanding block copies vs ~45-105 serialized).
-    # ONE shared DMA semaphore for all T copies: every copy is the same size,
-    # so T waits drain exactly T completions. (A per-slot semaphore array
-    # indexed `.at[i]` both ballooned Mosaic compile to minutes when unrolled
-    # and deadlocked under fori_loop.) Rolled loops, not Python unroll:
-    # starts are non-blocking either way, pipeline depth is still T.
-    jax.lax.fori_loop(0, T, lambda i, c: (dma(i).start(), c)[1], 0)
-    jax.lax.fori_loop(0, T, lambda i, c: (dma(i).wait(), c)[1], 0)
+    Two semaphores, one per buffer parity: a single shared semaphore counts
+    completions anonymously, so a wait for step s's T copies could be
+    satisfied by early completions of step s+1's — parity-split semaphores
+    make each wait drain exactly its own step's copies. Within a parity the
+    copies are all equal-sized, so T waits drain T completions (the r3
+    shared-semaphore argument, now per parity)."""
+    s = pl.program_id(0)
 
-    # phase B: corner dots, vectorized over the T pixels
+    def fire(idx_ref, slot, sem):
+        def dma(i):
+            # (b, s, yb, xs) precomputed on the XLA side: the fire loop is
+            # the scalar-core bottleneck at small blocks (~130 ns/descriptor
+            # at r=2), so no rem/div here
+            b = idx_ref[0, 4 * i]
+            sh = idx_ref[0, 4 * i + 1]
+            yb = idx_ref[0, 4 * i + 2]
+            xs = idx_ref[0, 4 * i + 3]
+            return pltpu.make_async_copy(
+                f1_ref.at[b, sh, yb, pl.ds(xs, K2)], buf.at[slot, i], sem
+            )
+
+        # rolled fori_loop, not Python unroll: starts are non-blocking either
+        # way, and unrolled per-slot code ballooned Mosaic compile to minutes
+        jax.lax.fori_loop(0, T, lambda i, c: (dma(i).start(), c)[1], 0)
+
+    def wait(slot, sem):
+        def dma(i):
+            return pltpu.make_async_copy(
+                f1_ref.at[0, 0, 0, pl.ds(0, K2)], buf.at[slot, i], sem
+            )
+
+        jax.lax.fori_loop(0, T, lambda i, c: (dma(i).wait(), c)[1], 0)
+
+    cur = jax.lax.rem(s, 2)
+    nxt = jax.lax.rem(s + 1, 2)
+    # prologue: step 0 fires its own copies first (parity 0)
+    @pl.when(s == 0)
+    def _():
+        fire(idx_cur, 0, sem0)
+
+    # fire next step's copies before waiting on the current ones
+    @pl.when((s + 1 < n_steps) & (nxt == 0))
+    def _():
+        fire(idx_nxt, 0, sem0)
+
+    @pl.when((s + 1 < n_steps) & (nxt == 1))
+    def _():
+        fire(idx_nxt, 1, sem1)
+
+    @pl.when(cur == 0)
+    def _():
+        wait(0, sem0)
+
+    @pl.when(cur == 1)
+    def _():
+        wait(1, sem1)
+
+    # corner dots, vectorized over the T pixels
     f0 = f0_ref[...].astype(jnp.float32)  # (T, C)
     for dy in range(K2):
         for dx in range(K2):
-            red = jnp.sum(buf[:, dx, dy, :].astype(jnp.float32) * f0, axis=-1)
+            red = jnp.sum(
+                buf[cur, :, dx, dy, :].astype(jnp.float32) * f0, axis=-1
+            )
             out_ref[dy * K2 + dx, :] = red
     for k in range(K2 * K2, out_ref.shape[0]):
         out_ref[k, :] = jnp.zeros((T,), jnp.float32)
@@ -75,11 +121,12 @@ def _shift_depth(radius: int) -> int:
 
 
 def _pipeline_depth(radius: int, C: int) -> int:
-    """T in-flight block DMAs, sized so the (T, K2, S, C) bf16 landing
-    buffer stays within ~8 MB of VMEM (multiple of 8, max 128)."""
+    """T in-flight block DMAs per buffer, sized so the DOUBLE (2, T, K2, S,
+    C) bf16 landing buffer stays within ~8 MB of VMEM (multiple of 8, max
+    128)."""
     K2 = 2 * radius + 2
     block = K2 * _shift_depth(radius) * C * 2
-    return max(8, min(128, (8 * 1024 * 1024 // block) // 8 * 8))
+    return max(8, min(128, (4 * 1024 * 1024 // block) // 8 * 8))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "T", "interpret"))
@@ -92,14 +139,24 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
     N = f0_flat.shape[0]
     n_steps = N // T
     NK = -(-(K2 * K2) // 8) * 8
-    idx = jnp.stack([bidx, ys, xs], axis=-1).reshape(n_steps, 1, 3 * T)
+    idx = jnp.stack(
+        [bidx, jax.lax.rem(ys, S), jax.lax.div(ys, S), xs], axis=-1
+    ).reshape(n_steps, 1, 4 * T)
 
+    # the SAME idx array enters twice: once at block s (current step's
+    # pixels) and once at block s+1 (the copies fired ahead into the other
+    # buffer half)
     out = pl.pallas_call(
-        functools.partial(_kernel, K2=K2, C=C, T=T, S=S),
+        functools.partial(_kernel, K2=K2, C=C, T=T, S=S, n_steps=n_steps),
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((None, 1, 3 * T), lambda s: (s, 0, 0),
+            pl.BlockSpec((None, 1, 4 * T), lambda s: (s, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (None, 1, 4 * T),
+                lambda s: (jnp.minimum(s + 1, n_steps - 1), 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((None, T, C), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -108,11 +165,12 @@ def _block_corr(f0_flat, f1s, bidx, ys, xs, radius, T=128, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, NK, T), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T, K2, S, C), f0_flat.dtype),
+            pltpu.VMEM((2, T, K2, S, C), f0_flat.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(idx, f0_flat.reshape(n_steps, T, C), f1s)
+    )(idx, idx, f0_flat.reshape(n_steps, T, C), f1s)
     # (n_steps, NK, T) -> (N, K2*K2)
     return out.transpose(0, 2, 1).reshape(N, NK)[:, : K2 * K2]
 

@@ -250,6 +250,288 @@ def dw5x5_affine_relu(
     return _pallas_call(x, w, scale, shift, interpret=False)
 
 
+def _kernel_ncw_mm(x_ref, w_ref, a_ref, mt_ref, out_ref, slab, sem, acc):
+    """Fused full block, width-major: depthwise 5x5 taps (VPU) -> affine ->
+    relu -> 1x1 channel-mixing matmul (MXU) on the same VMEM-resident row
+    band. One HBM read + one HBM write per block instead of four (the dw and
+    the 1x1 each round-tripped the activation through HBM when separate)."""
+    th, Dp, w_out = out_ref.shape
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(x_ref.at[b, pl.ds(i * th, th + 4)], slab, sem)
+    dma.start()
+    dma.wait()
+    wv = w_ref[:].astype(jnp.float32)
+    av = a_ref[:]
+    acc[:] = jnp.zeros(acc.shape, jnp.float32)
+    for dy in range(5):
+        for dx in range(5):
+            tap = slab[dy : dy + th, :, dx : dx + w_out].astype(jnp.float32)
+            acc[:] = acc[:] + tap * wv[dy, dx][:, None]
+    mt = mt_ref[:]
+    bias = av[2][:, None]  # (Cp==Dp, 1) out-bias lane-broadcast
+    for t in range(th):
+        y = jnp.maximum(acc[t] * av[0][:, None] + av[1][:, None], 0.0)
+        z = jax.lax.dot(
+            mt, y.astype(mt.dtype), preferred_element_type=jnp.float32
+        )
+        out_ref[t] = (z + bias).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _pallas_call_ncw_mm(xt, wp, a, mtp, H, W, interpret=False):
+    """(B, Hp+4, Cp, Wp) padded input -> (B, H, Dp, W) fused-block output."""
+    B, Hp4, Cp, Wp = xt.shape
+    Dp = mtp.shape[0]
+    th = 8
+    for cand in (32, 16, 8):
+        area = (
+            (cand + 4) * Cp * Wp * 2      # slab bf16
+            + cand * Cp * W * 4           # fp32 accumulator
+            + 2 * cand * Dp * W * 2       # double-buffered output
+            + Dp * Cp * 2
+        )
+        if area <= 11 * 1024 * 1024:
+            th = cand
+            break
+    n_h = -(-H // th)
+    out = pl.pallas_call(
+        _kernel_ncw_mm,
+        grid=(B, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, th, Dp, W), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_h * th, Dp, W), xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, Cp, Wp), xt.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((th, Cp, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, wp, a, mtp)
+    return out[:, :H]
+
+
+def _kernel_ncw_mm_frame(x_ref, w_ref, a_ref, mt_ref, out_ref, slab, sem, acc,
+                         *, H, W, M, n_bands):
+    """Padded-frame variant of the fused block for CHAINED use: input and
+    output share one geometry — (B, n_bands*th, Cp, Wp) with the real image
+    at rows [M, M+H), cols [2, W+2), zeros elsewhere — so N blocks run
+    back-to-back with NO pad/slice/transpose copies between them (each such
+    copy cost ~1.5 ms and a scheduling stall at 864^2; xplane trace, PERF.md
+    round 4). Margin bands only zero-fill; interior bands mask their output
+    to keep the zero frame exact (the next block's taps read it as the
+    conv's zeros padding)."""
+    th, Dp, Wp = out_ref.shape
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    edge = (i == 0) | (i == n_bands - 1)
+
+    @pl.when(edge)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(~edge)
+    def _():
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * th - 2, th + 4)], slab, sem
+        )
+        dma.start()
+        dma.wait()
+        wv = w_ref[:].astype(jnp.float32)
+        av = a_ref[:]
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        for dy in range(5):
+            for dx in range(5):
+                tap = slab[dy : dy + th, :, dx : dx + Wp - 4].astype(
+                    jnp.float32
+                )
+                acc[:] = acc[:] + tap * wv[dy, dx][:, None]
+        mt = mt_ref[:]
+        bias = av[2][:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, (Dp, Wp), 1)
+        col_ok = (col >= 2) & (col < W + 2)
+        for t in range(th):
+            y = jnp.maximum(acc[t] * av[0][:, None] + av[1][:, None], 0.0)
+            z = jax.lax.dot(
+                mt, y.astype(mt.dtype), preferred_element_type=jnp.float32
+            ) + bias
+            row = i * th + t
+            ok = col_ok & (row >= M) & (row < M + H)
+            z = jnp.pad(z, ((0, 0), (2, 2)))
+            out_ref[t] = jnp.where(ok, z, 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "M", "th", "interpret")
+)
+def _frame_block(xf, wp, a, mtp, H, W, M, th, interpret=False):
+    B, R, Cp, Wp = xf.shape
+    n_bands = R // th
+    Dp = mtp.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_ncw_mm_frame, H=H, W=W, M=M, n_bands=n_bands
+        ),
+        grid=(B, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, th, Dp, Wp), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, Dp, Wp), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, Cp, Wp), xf.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((th, Cp, Wp - 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf, wp, a, mtp)
+
+
+def dw5x5_mm_chain(
+    x: jax.Array,
+    ws: jax.Array,
+    scales: jax.Array,
+    shifts: jax.Array,
+    ms: jax.Array,
+    biases: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """N fused refiner blocks chained on a padded-resident frame.
+
+    x (B, H, W, C) NHWC; ws (N, 5, 5, C); scales/shifts/biases (N, C);
+    ms (N, C, C). Returns (B, H, C, W) width-major (the refiner head
+    consumes this layout). One transpose+pad in, one slice out, zero
+    inter-block copies. Inference-only (the refiner's NCW gate guarantees
+    no batch stats / grads on this path)."""
+    B, H, W, C = x.shape
+    N = ws.shape[0]
+    if jax.default_backend() != "tpu" and not interpret:
+        y = x
+        for j in range(N):
+            y = _mm_reference(
+                y, ws[j], scales[j], shifts[j], ms[j], biases[j]
+            )
+        return y.transpose(0, 1, 3, 2)
+    Wp = -(-(W + 4) // 128) * 128
+    Cp = -(-max(C, 8) // 8) * 8
+    # th: prefer a divisor-ish band height fitting VMEM
+    th = 8
+    for cand in (32, 16, 8):
+        area = (
+            (cand + 4) * Cp * Wp * 2
+            + cand * Cp * Wp * 4
+            + 2 * cand * Cp * Wp * 2
+            + Cp * Cp * 2
+        )
+        if area <= 11 * 1024 * 1024:
+            th = cand
+            break
+    M = th
+    n_h = -(-H // th)
+    R = (n_h + 2) * th
+    xt = x.transpose(0, 1, 3, 2)
+    xf = jnp.pad(
+        xt, ((0, 0), (M, R - M - H), (0, Cp - C), (2, Wp - W - 2))
+    ).astype(x.dtype)
+    a3 = jnp.stack(
+        [scales, shifts, biases], axis=1
+    ).astype(jnp.float32)  # (N, 3, C)
+    a3 = jnp.pad(a3, ((0, 0), (0, 0), (0, Cp - C)))
+    wsp = jnp.pad(ws, ((0, 0), (0, 0), (0, 0), (0, Cp - C))).astype(x.dtype)
+    mts = jnp.pad(
+        jnp.swapaxes(ms, -1, -2).astype(x.dtype),
+        ((0, 0), (0, Cp - C), (0, Cp - C)),
+    )
+    for j in range(N):
+        xf = _frame_block(
+            xf, wsp[j], a3[j], mts[j], H, W, M, th, interpret=interpret
+        )
+    return xf[:, M : M + H, :C, 2 : W + 2]
+
+
+def _mm_reference(x, w, scale, shift, m, bias):
+    """NHWC composition oracle for the fused block (CPU path + VJP)."""
+    y = _jax_reference(x, w, scale, shift)
+    return (
+        jnp.einsum("bhwc,cd->bhwd", y.astype(jnp.float32), m.astype(jnp.float32))
+        + bias
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def dw5x5_affine_relu_mm(
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    m: jax.Array,
+    bias: jax.Array,
+) -> jax.Array:
+    """Fused refiner block: 1x1(relu(dw5x5(x, w) * scale + shift)) + bias,
+    width-major. x (B, H, C, W); w (5, 5, C); m (C, D) with D == C; out
+    (B, H, D, W). TPU inference path for the narrow/odd-width refiner
+    hidden dims (24, 144) where NHWC lane padding wastes the VPU and the
+    separate 1x1 costs two extra HBM round trips per block."""
+    if jax.default_backend() != "tpu":
+        y = _mm_reference(x.transpose(0, 1, 3, 2), w, scale, shift, m, bias)
+        return y.transpose(0, 1, 3, 2)
+    return _mm_tpu_path(x, w, scale, shift, m, bias)
+
+
+def _mm_tpu_path(x, w, scale, shift, m, bias, interpret=False):
+    B, H, C, W = x.shape
+    Wp = -(-(W + 4) // 128) * 128
+    Cp = -(-max(C, 8) // 8) * 8
+    xt = jnp.pad(x, ((0, 0), (2, 2), (0, Cp - C), (2, Wp - W - 2)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C)))
+    a = jnp.pad(
+        jnp.stack([scale, shift, bias]).astype(jnp.float32),
+        ((0, 0), (0, Cp - C)),
+    )
+    mtp = jnp.pad(
+        m.T.astype(x.dtype), ((0, Cp - C), (0, Cp - C))
+    )
+    # pad rows so every row band is full (th chosen inside)
+    th_max = 32
+    Hp = -(-H // 8) * 8 + th_max  # conservative; kernel slices [:H]
+    xt = jnp.pad(xt, ((0, 0), (0, Hp + 4 - xt.shape[1]), (0, 0), (0, 0)))
+    return _pallas_call_ncw_mm(xt, wp, a, mtp, H, W, interpret=interpret)[
+        :, :, :C
+    ]
+
+
+def _mm_fwd(x, w, scale, shift, m, bias):
+    return dw5x5_affine_relu_mm(x, w, scale, shift, m, bias), (
+        x, w, scale, shift, m, bias,
+    )
+
+
+def _mm_bwd(res, g):
+    x, w, scale, shift, m, bias = res
+    ref = lambda x, w, s, t, m, b: _mm_reference(
+        x.transpose(0, 1, 3, 2), w, s, t, m, b
+    ).transpose(0, 1, 3, 2)
+    _, vjp = jax.vjp(ref, x, w, scale, shift, m, bias)
+    return vjp(g)
+
+
+dw5x5_affine_relu_mm.defvjp(_mm_fwd, _mm_bwd)
+
+
 def _fwd(x, w, scale, shift, data_format="NHWC"):
     return dw5x5_affine_relu(x, w, scale, shift, data_format), (
         x, w, scale, shift,

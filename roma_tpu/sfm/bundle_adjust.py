@@ -359,12 +359,17 @@ def filter_observations(
         valid = (p.mask > 0) & in_front & jnp.isfinite(err_px)
         n_valid = jnp.sum(valid)
         sorted_err = jnp.sort(jnp.where(valid, err_px, jnp.inf))
-        rank = jnp.clip(
-            (keep_quantile * jnp.maximum(n_valid - 1, 0)).astype(jnp.int32),
-            0,
-            err_px.shape[0] - 1,
+        # linear interpolation between the bracketing order statistics —
+        # jnp.quantile parity with the host path (ADVICE r3: a floor()'d
+        # rank alone biases the gate low by up to one observation step)
+        pos = keep_quantile * jnp.maximum(n_valid - 1, 0)
+        rank = jnp.clip(pos.astype(jnp.int32), 0, err_px.shape[0] - 1)
+        rank_hi = jnp.clip(
+            jnp.minimum(rank + 1, n_valid - 1), 0, err_px.shape[0] - 1
         )
-        q = jnp.where(n_valid > 0, sorted_err[rank], max_err_px)
+        frac = pos - rank.astype(pos.dtype)
+        q_interp = sorted_err[rank] * (1 - frac) + sorted_err[rank_hi] * frac
+        q = jnp.where(n_valid > 0, q_interp, max_err_px)
         gate = jnp.maximum(max_err_px, q)
     keep = (err_px < gate) & in_front
     return p._replace(mask=p.mask * keep.astype(p.mask.dtype))
@@ -610,6 +615,12 @@ def bundle_adjust_device(
     `mesh`: optional jax.sharding.Mesh; shards the observation axis over its
     "data" axis (cameras/points replicated), turning the segment-sums into
     XLA all-reduces — the distributed Schur-complement BA path.
+
+    Scale ceiling (ADVICE r3): the exact dense-Schur step materializes a
+    (n_pts, n_cams, 6, 3) f32 scatter plus the (6*n_cams)^2 reduced system —
+    O(n_pts * n_cams) memory, ~3.6 GB at 100k pts x 500 cams. Beyond a few
+    hundred cameras use `bundle_adjust_cg_device` (matrix-free preconditioned
+    CG on the Schur complement: O(n_obs) memory, no per-point scatter).
 
     Returns (optimized problem, final robust cost in px^2)."""
     import functools as _ft

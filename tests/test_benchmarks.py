@@ -187,6 +187,26 @@ def test_megadepth_pose_benchmark_oracle(mega_scene_dir):
     assert res["map_5"] == 1.0
 
 
+def test_megadepth_pose_batched_matches_serial(mega_scene_dir):
+    """batch_size > 1 (threaded load + batched match + threaded RANSAC) must
+    reproduce the serial protocol exactly: same RNG order, same errors."""
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+
+    homs = [two_plane_homographies(i) for i in range(3)]
+    kw = dict(
+        data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+        num_ransac_runs=2, sample_num=1000, pose_backend="numpy",
+    )
+    e_serial = MegaDepthPoseEstimationBenchmark(**kw).collect_errors(
+        OracleMatcher(homs)
+    )
+    # batch 2 over 3 pairs: exercises the partial final batch
+    e_batched = MegaDepthPoseEstimationBenchmark(
+        **kw, batch_size=2, workers=2
+    ).collect_errors(OracleMatcher(homs))
+    np.testing.assert_allclose(e_batched, e_serial, atol=1e-6)
+
+
 def test_megadepth_pose_benchmark_garbage_matcher(mega_scene_dir):
     from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
 

@@ -131,18 +131,68 @@ def test_dw5x5_affine_relu_nhcw_matches_nhwc(rng):
     )
 
 
-def test_refiner_ncw_block_matches_nhwc(rng):
-    """DWBlock's width-major inference branch == the standard branch."""
+@pytest.mark.parametrize("shape", [(2, 14, 19, 24), (1, 33, 40, 144)])
+def test_dw5x5_affine_relu_mm_matches_reference(rng, shape):
+    """Fused full block (dw5x5 + affine + relu + 1x1 matmul, width-major)
+    == the composed reference chain, in interpret mode."""
+    from roma_tpu.ops.pallas.depthwise import _mm_reference, _mm_tpu_path
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((5, 5, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    m = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    ref = _mm_reference(x, w, scale, shift, m, bias)
+    out = _mm_tpu_path(
+        x.transpose(0, 1, 3, 2), w, scale, shift, m, bias, interpret=True
+    ).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=2e-2,
+    )
+
+
+def test_dwblock_collect_matches_apply(rng):
+    """DWBlock's param-collection mode (feeding the fused chain) must fold
+    BN/bias into exactly the math the standard branch computes."""
     from roma_tpu.models.refiner import DWBlock
+    from roma_tpu.ops.pallas.depthwise import _mm_reference
 
     C = 24
     x = jnp.asarray(rng.standard_normal((2, 12, 15, C)).astype(np.float32), jnp.bfloat16)
     blk = DWBlock(C)
     params = blk.init(jax.random.PRNGKey(0), x)
     ref = blk.apply(params, x)
-    out = blk.apply(params, x.transpose(0, 1, 3, 2), ncw=True).transpose(0, 1, 3, 2)
+    w, sc, sh, m, b = blk.apply(params, None, False, True)
+    out = _mm_reference(x, w, sc, sh, m, b)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_dw5x5_mm_chain_matches_reference(rng):
+    """Chained padded-frame fused blocks == the sequential composed chain
+    (interpret mode; exercises the zero-margin frame invariant)."""
+    from roma_tpu.ops.pallas.depthwise import _mm_reference, dw5x5_mm_chain
+
+    B, H, W, C, N = 2, 21, 19, 24, 3
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32), jnp.bfloat16)
+    ws = jnp.asarray(rng.standard_normal((N, 5, 5, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    scales = jnp.asarray(rng.uniform(0.5, 1.5, (N, C)).astype(np.float32))
+    shifts = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32) * 0.1)
+    ms = jnp.asarray(rng.standard_normal((N, C, C)).astype(np.float32) * 0.2, jnp.bfloat16)
+    biases = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32) * 0.1)
+    ref = x
+    for j in range(N):
+        ref = _mm_reference(ref, ws[j], scales[j], shifts[j], ms[j], biases[j])
+    got = dw5x5_mm_chain(
+        x, ws, scales, shifts, ms, biases, interpret=True
+    ).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=1e-1, rtol=5e-2,
     )
 
 

@@ -95,6 +95,50 @@ def test_roma_match_end_to_end(debug_matcher, rng):
     assert m.shape == (500, 4)
 
 
+def test_roma_match_prepped_matches_pil_match(debug_matcher, rng):
+    """The batched-eval fast path (host_prep_np -> match_prepped, used by the
+    harness at batch_size > 1) must reproduce the serial PIL `match` path."""
+    from PIL import Image
+
+    ims = [
+        Image.fromarray(
+            rng.uniform(0, 255, (150, 190, 3)).astype(np.uint8)
+        )
+        for _ in range(4)
+    ]
+    w0, c0 = debug_matcher.match(ims[0], ims[1])
+    w1, c1 = debug_matcher.match(ims[2], ims[3])
+
+    cfg = debug_matcher.cfg
+    hc, wc = cfg.coarse_resolution
+    hu, wu = cfg.upsample_resolution
+    a = np.stack([debug_matcher.host_prep_np(ims[i], hc, wc) for i in (0, 2)])
+    b = np.stack([debug_matcher.host_prep_np(ims[i], hc, wc) for i in (1, 3)])
+    a2 = np.stack([debug_matcher.host_prep_np(ims[i], hu, wu) for i in (0, 2)])
+    b2 = np.stack([debug_matcher.host_prep_np(ims[i], hu, wu) for i in (1, 3)])
+    warps, certs = debug_matcher.match_prepped(a, b, a2, b2)
+    assert warps.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(warps[0]), np.asarray(w0), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(warps[1]), np.asarray(w1), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(certs[0]), np.asarray(c0), atol=2e-2)
+
+    # uint8 shipping (host_resize_np + on-device normalize) == f32 shipping
+    au = np.stack([debug_matcher.host_resize_np(ims[i], hc, wc) for i in (0, 2)])
+    bu = np.stack([debug_matcher.host_resize_np(ims[i], hc, wc) for i in (1, 3)])
+    au2 = np.stack([debug_matcher.host_resize_np(ims[i], hu, wu) for i in (0, 2)])
+    bu2 = np.stack([debug_matcher.host_resize_np(ims[i], hu, wu) for i in (1, 3)])
+    warps_u, certs_u = debug_matcher.match_prepped(au, bu, au2, bu2)
+    np.testing.assert_allclose(
+        np.asarray(warps_u), np.asarray(warps), atol=1e-5
+    )
+
+    # vmapped sampling agrees with per-pair sampling at identical keys
+    keys = [jax.random.PRNGKey(7), jax.random.PRNGKey(8)]
+    mb, _cb = debug_matcher.sample_batched(warps, certs, 200, keys)
+    m0, _ = debug_matcher.sample(warps[0], certs[0], 200, key=keys[0])
+    np.testing.assert_allclose(np.asarray(mb[0]), np.asarray(m0), atol=1e-6)
+
+
 def test_roma_train_corresps_carry_training_keys(debug_matcher):
     x = jnp.zeros((1, 112, 112, 3))
     out, _ = debug_matcher.model.apply(
