@@ -139,8 +139,12 @@ def main():
                 print(f"first step (compile + run): "
                       f"{time.perf_counter() - t0:.1f}s loss={losses[0]:.4f}",
                       flush=True)
+                t0 = time.perf_counter()
+        steady = (time.perf_counter() - t0) / max(args.convergence - 1, 1)
         first = float(np.median(losses[:10]))
         last = float(np.median(losses[-10:]))
+        print(f"steady step time ~{steady * 1e3:.0f} ms "
+              f"({args.batch / steady:.2f} samples/s/chip, excl. compile)")
         print(f"loss trajectory over {args.convergence} steps: "
               f"median(first 10)={first:.4f} median(last 10)={last:.4f} "
               f"ratio={last / first:.3f}")

@@ -57,7 +57,8 @@ def rot_xyz(a, b, c):
     return Rz @ Ry @ Rx
 
 
-def make_world(n_cams, n_pts, seed=0, noise_px=0.5, outlier_frac=0.1):
+def make_world(n_cams, n_pts, seed=0, noise_px=0.5, outlier_frac=0.1,
+               obs_per_cam=None):
     rng = np.random.default_rng(seed)
     K = np.array([[600.0, 0, 480], [0, 600.0, 320], [0, 0, 1]], np.float32)
     X = rng.uniform([-8, -5, 10], [8, 5, 30], (n_pts, 3))
@@ -79,6 +80,8 @@ def make_world(n_cams, n_pts, seed=0, noise_px=0.5, outlier_frac=0.1):
         vis = (Xc[:, 2] > 1.0) & (px[:, 0] > 0) & (px[:, 0] < 960) & \
               (px[:, 1] > 0) & (px[:, 1] < 640)
         sel = np.flatnonzero(vis)
+        if obs_per_cam is not None and len(sel) > obs_per_cam:
+            sel = rng.choice(sel, obs_per_cam, replace=False)
         obs = px[sel] + rng.normal(0, noise_px, (len(sel), 2))
         n_out = int(outlier_frac * len(sel))
         if n_out:
@@ -136,10 +139,25 @@ def main():
         help="with --device-driver: shard the observation axis over an "
              "N-device mesh",
     )
+    ap.add_argument(
+        "--solver", default="dense", choices=["dense", "cg"],
+        help="device-driver camera solve: exact dense f64 Schur, or "
+             "matrix-free block-Jacobi(S) CG + f64 refinement (O(n_obs) "
+             "memory — the 1k-cam/1M-obs path)",
+    )
+    ap.add_argument(
+        "--skip-scaling", action="store_true",
+        help="skip the distributed ba_step timing sweep",
+    )
+    ap.add_argument(
+        "--obs-per-cam", type=int, default=None,
+        help="cap observations per camera (keeps the 1k-cam world at ~1M "
+             "obs instead of full-visibility tens of millions)",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(0)
 
-    world = make_world(args.cams, args.pts)
+    world = make_world(args.cams, args.pts, obs_per_cam=args.obs_per_cam)
     n_obs = len(world["uv"])
     print(f"world: {args.cams} cams, {args.pts} pts, {n_obs} obs "
           f"(0.5 px noise, 10% outliers)")
@@ -179,7 +197,7 @@ def main():
             mesh = make_mesh(n_data=args.shard)
         refined, cost = bundle_adjust_device(
             dd_problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0,
-            mesh=mesh,
+            mesh=mesh, solver=args.solver,
         )
     else:
         refined, cost = bundle_adjust(
@@ -194,6 +212,8 @@ def main():
           f"rmse {ate_ba['ate_rmse']:.4f} median {ate_ba['ate_median']:.4f} "
           f"robust cost {cost:.3f} px^2")
 
+    if args.skip_scaling:
+        return
     # distributed ba_step scaling: 1 device vs all devices
     for n_dev in (1, len(jax.devices())):
         mesh = make_mesh(n_data=n_dev)

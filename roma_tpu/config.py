@@ -98,6 +98,12 @@ class RomaConfig:
     decoder_heads: int = 8
     refine_init: float = 4.0      # delta-flow scaling (matcher.py:297,397-399)
     disp_emb_gain: float = 40.0 / 32.0  # displacement embedding scale (matcher.py:120)
+    # route narrow-channel warp gathers through the smoothness-exploiting
+    # windowed Pallas kernel (ops/pallas/windowed_sample.py): a big win on
+    # trained-weight (smooth) flows, with an exact whole-batch fallback to
+    # the gather emitter on rough flows. Off the headline path by default
+    # (the random-init bench never passes its validity check anyway).
+    smooth_warp_gather: bool = False
     # per-scale refiners; dims follow roma_models.py:40-114
     refiners: Mapping[str, RefinerConfig] = dataclasses.field(
         default_factory=lambda: {

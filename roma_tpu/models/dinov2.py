@@ -31,8 +31,11 @@ class DinoViT(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """(B, H, W, 3), H and W divisible by 14 -> (B, H/14, W/14, embed_dim)."""
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """(B, H, W, 3), H and W divisible by 14 -> (B, H/14, W/14, embed_dim).
+
+        `train` only selects differentiation-safe attention block geometry
+        (the ViT itself is frozen; see models/transformer._flash_attention)."""
         B, H, W, _ = x.shape
         p = self.patch_size
         h, w = H // p, W // p
@@ -74,7 +77,7 @@ class DinoViT(nn.Module):
             tokens = Block(
                 self.embed_dim, self.num_heads, layer_scale=True,
                 dtype=self.dtype, name=f"block_{i}",
-            )(tokens)
+            )(tokens, deterministic=not train)
 
         tokens = nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens.astype(jnp.float32))
         patches = tokens[:, 1:].astype(self.dtype)

@@ -66,7 +66,7 @@ class CNNandDinov2(nn.Module):
     def __call__(self, x: jax.Array, coarse: bool = True, train: bool = False):
         pyramid = dict(self.cnn(x, train))
         if coarse:
-            feats16 = self.dinov2(x)
+            feats16 = self.dinov2(x, train=train)
             pyramid[16] = jax.lax.stop_gradient(feats16)
         return pyramid
 
@@ -105,6 +105,7 @@ class Decoder(nn.Module):
                 kernel_size=rc.kernel_size,
                 disp_emb_gain=c.disp_emb_gain,
                 dtype=dt,
+                smooth_warp=c.smooth_warp_gather,
                 name=f"refiner_{s}",
             )
             for s, rc in c.refiners.items()
@@ -153,7 +154,7 @@ class Decoder(nn.Module):
 
             if ins == 16:
                 gp_posterior = self.gp16(f1_s, f2_s)
-                gm_cls, certainty = self.embedding_decoder(gp_posterior, f1_s)
+                gm_cls, certainty = self.embedding_decoder(gp_posterior, f1_s, train=train)
                 flow = cls_to_flow_refine(gm_cls)
                 if train:
                     corresps[ins]["gm_cls"] = gm_cls

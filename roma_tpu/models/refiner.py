@@ -180,6 +180,7 @@ class ConvRefiner(nn.Module):
     kernel_size: int = 5
     disp_emb_gain: float = 40.0 / 32.0
     dtype: jnp.dtype = jnp.bfloat16
+    smooth_warp: bool = False     # RomaConfig.smooth_warp_gather
 
     @nn.compact
     def __call__(
@@ -196,7 +197,12 @@ class ConvRefiner(nn.Module):
         output; the Decoder applies the refine_init/ins scaling.
         """
         B, H, W, C = x.shape
-        x_hat = grid_sample(y, flow).astype(self.dtype)
+        if self.smooth_warp and not train and y.shape[-1] <= 16:
+            from roma_tpu.ops.pallas.windowed_sample import grid_sample_smooth
+
+            x_hat = grid_sample_smooth(y, flow).astype(self.dtype)
+        else:
+            x_hat = grid_sample(y, flow).astype(self.dtype)
 
         grid = jnp.broadcast_to(coord_grid(H, W), (B, H, W, 2))
         disp = (flow - grid).astype(jnp.float32)

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from roma_tpu.utils.geometry import get_grid
 
 
-def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def _flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, train: bool = False
+) -> jax.Array:
     """Flash attention on (B, N, H, d) via the Pallas TPU kernel.
 
     XLA's unfused attention materializes the (B, H, N, N) logits in HBM —
@@ -31,18 +33,21 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     B, N, H, d = q.shape
-    # v5e-measured block sweep at N=1601: one full-sequence block beats 896
-    # (4.57 vs 4.99 ms at batch 8 incl dispatch — fewer grid steps, ~4% less
-    # padding) which beats 256 by ~1.5x. Cutoff at 1664 = the measured padded
-    # size: the kernel holds a block_q x block_k f32 score tile in VMEM
-    # (1664^2*4 = 11 MB; 2048^2 would be 16.8 MB > v5e VMEM — ADVICE r3);
-    # longer sequences use 896-wide streaming blocks
-    if N > 1664:
+    # v5e-measured block sweep at N=1601: a full-sequence K block beats 896
+    # streaming (4.57 vs 4.99 ms at batch 8 incl dispatch — fewer grid
+    # steps, ~4% less padding) which beats 256 by ~1.5x. TRAINING graphs use
+    # the 896-streaming geometry throughout: the DIFFERENTIATED kernel adds
+    # saved-residual outputs (a full-square 1664 block overflows the 16 MB
+    # scoped-vmem stack by 0.6 MB — found compiling the 560^2 train step),
+    # and the dkv/dq backward kernels require 128-multiple blocks that
+    # DIVIDE the padded length (1664 = 2^7 * 13 admits only 128, a 13x
+    # slower geometry). Inference keeps the one-block fast path.
+    if train or N > 1664:
         Np = -(-N // 896) * 896
-        block = 896
+        bq = bk = 896
     else:
         Np = -(-N // 128) * 128
-        block = Np
+        bk = bq = Np
     pad = Np - N
     qp, kp, vp = (
         jnp.moveaxis(jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0))), 2, 1)
@@ -52,10 +57,10 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         (jnp.arange(Np) >= N).astype(jnp.int32), (B, Np)
     )
     sizes = fa.BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_k_dkv=block, block_q_dkv=block,
-        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bq,
+        block_k_dkv=bq, block_q_dkv=bq,
+        block_k_major_dq=bq, block_k_dq=bq, block_q_dq=bq,
     )
     out = fa.flash_attention(
         qp, kp, vp, segment_ids=fa.SegmentIds(q=seg, kv=seg),
@@ -77,7 +82,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         B, N, C = x.shape
         H = self.num_heads
         qkv = nn.Dense(
@@ -87,7 +92,7 @@ class Attention(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, N, 3, H, C // H), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
         if jax.default_backend() == "tpu":
-            out = _flash_attention(q, k, v)
+            out = _flash_attention(q, k, v, train=train)
         else:
             out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, N, C)
@@ -213,7 +218,7 @@ class Block(nn.Module):
         h = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             dtype=self.dtype, name="attn",
-        )(h.astype(self.dtype))
+        )(h.astype(self.dtype), train=not deterministic)
         if self.layer_scale:
             h = LayerScale(self.dim, name="ls1")(h)
         x = x + residual(h)
@@ -249,7 +254,8 @@ class TransformerDecoder(nn.Module):
         return [16]
 
     @nn.compact
-    def __call__(self, gp_posterior: jax.Array, feats: jax.Array):
+    def __call__(self, gp_posterior: jax.Array, feats: jax.Array,
+                 train: bool = False):
         B, H, W, _ = gp_posterior.shape
         x = jnp.concatenate([gp_posterior, feats], axis=-1)
         tokens = x.reshape(B, H * W, self.hidden_dim).astype(self.dtype)
@@ -257,7 +263,7 @@ class TransformerDecoder(nn.Module):
             tokens = Block(
                 self.hidden_dim, self.num_heads, qkv_bias=False,
                 dtype=self.dtype, name=f"block_{i}",
-            )(tokens)
+            )(tokens, deterministic=not train)
         out = nn.Dense(
             self.out_dim, dtype=jnp.float32, param_dtype=jnp.float32, name="to_out"
         )(tokens.astype(jnp.float32))

@@ -561,7 +561,110 @@ def _dense_schur_solve_f64(U, V, W, g_c, g_p, cam_idx, pt_idx, fix_first_cam):
     return delta_c.astype(jnp.float32), delta_p.astype(jnp.float32)
 
 
-def _lm_iteration(p, lam, cost, huber_delta, fix_first_cam):
+def _cg_schur_solve(U, V, W, g_c, g_p, cam_idx, pt_idx, fix_first_cam,
+                    n_inner=60, n_outer=3, pt_shard=None, obs_shard=None):
+    """Matrix-free Schur-complement camera solve at bounded memory: O(n_obs)
+    work and storage — no (n_pts, n_cams) scatter, no (6 n_cams)^2 dense
+    system — so it scales past the dense driver's few-hundred-camera ceiling
+    (ADVICE r3; VERDICT r3 #3).
+
+    The dense path's accuracy recipe transfers: an f32 inner CG
+    preconditioned with the EXACT block diagonal of S (block-Jacobi of the
+    reduced system, not of U — it includes the point-elimination term, which
+    is what makes fp32 CG converge at BA conditioning), wrapped in an f64
+    iterative-refinement outer loop whose residuals use f64 segment-sum
+    matvecs. `pt_shard`/`obs_shard`: optional NamedShardings constraining
+    the point-block and observation intermediates on a mesh (keyframe /
+    map-block partitioning: cameras replicated — the 6*n_cams reduced state
+    is the global coupling — while per-point factors and per-observation
+    terms stay distributed)."""
+    f64 = jnp.float64
+    n_cams, n_pts = U.shape[0], V.shape[0]
+    if fix_first_cam:
+        U = U.at[0].add(1e10 * jnp.eye(6, dtype=U.dtype))
+
+    def shard(x, s):
+        return jax.lax.with_sharding_constraint(x, s) if s is not None else x
+
+    # V: symmetrize + relative diagonal floor (mirrors the dense path), then
+    # closed-form SPD inverse per 3x3 block
+    Vs = 0.5 * (V + jnp.swapaxes(V, -1, -2))
+    vmax = jnp.maximum(jnp.max(jnp.diagonal(Vs, axis1=-2, axis2=-1), -1), 0.0)
+    Vs = Vs + (1e-8 + 1e-6 * vmax)[:, None, None] * jnp.eye(3, dtype=Vs.dtype)
+    V_inv = shard(_inv3_spd(Vs), pt_shard)
+
+    mv66 = lambda A, x: jnp.einsum("cab,cb->ca", A, x)
+
+    def schur_matvec(x, U_, W_, Vi_):
+        y = mv66(U_, x)
+        u = jnp.einsum("kab,ka->kb", W_, x[cam_idx])
+        su = jax.ops.segment_sum(u, pt_idx, n_pts)
+        s = jnp.einsum("pab,pb->pa", Vi_, su)
+        back = jnp.einsum("kab,kb->ka", W_, s[pt_idx])
+        return y - jax.ops.segment_sum(back, cam_idx, n_cams)
+
+    # exact block diagonal of S (one obs per (cam, pt) pair in SfM tracks):
+    # S_cc = U_c - sum_{k: cam_k = c} W_k V_{p(k)}^-1 W_k^T
+    WVi = shard(jnp.einsum("kab,kbc->kac", W, V_inv[pt_idx]), obs_shard)
+    Sd = U - jax.ops.segment_sum(
+        jnp.einsum("kac,kdc->kad", WVi, W), cam_idx, n_cams
+    )
+    Sd = 0.5 * (Sd + jnp.swapaxes(Sd, -1, -2))
+    dmax = jnp.maximum(jnp.max(jnp.diagonal(Sd, axis1=-2, axis2=-1), -1), 0.0)
+    Sd = Sd + (1e-7 + 1e-6 * dmax)[:, None, None] * jnp.eye(6, dtype=Sd.dtype)
+    P_inv = jnp.linalg.inv(Sd)
+
+    def pcg(rhs):
+        """Jacobi(S)-preconditioned CG in f32, fixed n_inner iterations."""
+        rhs32 = rhs.astype(jnp.float32)
+
+        def body(_, state):
+            x, rr, z, pdir = state
+            Ap = schur_matvec(
+                pdir, U.astype(jnp.float32), W.astype(jnp.float32),
+                V_inv.astype(jnp.float32),
+            )
+            rz = jnp.vdot(rr, z)
+            denom = jnp.vdot(pdir, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            x = x + alpha * pdir
+            r_new = rr - alpha * Ap
+            z_new = mv66(P_inv, r_new)
+            beta = jnp.vdot(r_new, z_new) / jnp.where(rz == 0, 1.0, rz)
+            return x, r_new, z_new, z_new + beta * pdir
+
+        z0 = mv66(P_inv, rhs32)
+        x, *_ = jax.lax.fori_loop(
+            0, n_inner, body, (jnp.zeros_like(rhs32), rhs32, z0, z0)
+        )
+        return x
+
+    # rhs b = -(g_c - W V^-1 g_p), f64
+    s_g = jnp.einsum("pab,pb->pa", V_inv.astype(f64), g_p.astype(f64))
+    coup = jax.ops.segment_sum(
+        jnp.einsum("kab,kb->ka", W.astype(f64), s_g[pt_idx]), cam_idx, n_cams
+    )
+    b = -(g_c.astype(f64) - coup)
+
+    U64, W64, Vi64 = U.astype(f64), W.astype(f64), V_inv.astype(f64)
+    x = jnp.zeros_like(b)
+    for _ in range(n_outer):
+        resid = b - schur_matvec(x, U64, W64, Vi64)
+        x = x + pcg(resid).astype(f64)
+    delta_c = x.astype(jnp.float32).reshape(n_cams, 6)
+    # back-substitute points: delta_p = -V^-1 (g_p + W^T delta_c)
+    wtd = jax.ops.segment_sum(
+        jnp.einsum("kab,ka->kb", W64, x.reshape(n_cams, 6)[cam_idx]),
+        pt_idx, n_pts,
+    )
+    delta_p = shard(
+        -jnp.einsum("pab,pb->pa", Vi64, g_p.astype(f64) + wtd), pt_shard
+    ).astype(jnp.float32)
+    return delta_c, delta_p
+
+
+def _lm_iteration(p, lam, cost, huber_delta, fix_first_cam, solver="dense",
+                  pt_shard=None, obs_shard=None):
     """One accept/reject LM iteration (jittable)."""
     n_cams, n_pts = p.cameras.shape[0], p.points.shape[0]
     r, Jc, Jp = _build_blocks(p, huber_delta)
@@ -572,9 +675,15 @@ def _lm_iteration(p, lam, cost, huber_delta, fix_first_cam):
     W = jnp.einsum("kia,kib->kab", Jc, Jp)
     U = U + lam * _diag_clamp(U)
     V = V + lam * _diag_clamp(V)
-    dc, dp = _dense_schur_solve_f64(
-        U, V, W, g_c, g_p, p.cam_idx, p.pt_idx, fix_first_cam
-    )
+    if solver == "cg":
+        dc, dp = _cg_schur_solve(
+            U, V, W, g_c, g_p, p.cam_idx, p.pt_idx, fix_first_cam,
+            pt_shard=pt_shard, obs_shard=obs_shard,
+        )
+    else:
+        dc, dp = _dense_schur_solve_f64(
+            U, V, W, g_c, g_p, p.cam_idx, p.pt_idx, fix_first_cam
+        )
     if fix_first_cam:
         dc = dc.at[0].set(0.0)  # exactly zero the (already ~zero) pinned block
     # NaN guard: a failed factorization must reject, not poison the state
@@ -605,6 +714,7 @@ def bundle_adjust_device(
     max_err_px: float | None = None,
     refilter_every: int = 10,
     mesh=None,
+    solver: str = "dense",
 ):
     """Fully device-resident LM: the WHOLE optimization (linearize -> dense
     f64-solved Schur step -> accept/reject -> periodic outlier refilter) is
@@ -622,12 +732,25 @@ def bundle_adjust_device(
     hundred cameras use `bundle_adjust_cg_device` (matrix-free preconditioned
     CG on the Schur complement: O(n_obs) memory, no per-point scatter).
 
+    `solver`: "dense" (exact f64 Schur — best under ~300 cams) or "cg"
+    (matrix-free block-Jacobi(S)-preconditioned CG with f64 iterative
+    refinement — O(n_obs) memory, the at-scale path; `bundle_adjust_cg_device`
+    is this with solver="cg").
+
     Returns (optimized problem, final robust cost in px^2)."""
     import functools as _ft
 
     p0 = problem
     if max_err_px is not None:
         p0 = filter_observations(p0, max_err_px, keep_quantile=0.9)
+
+    if mesh is not None and solver == "cg":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pt_shard = NamedSharding(mesh, P("data"))
+        obs_shard = NamedSharding(mesh, P("data"))
+    else:
+        pt_shard = obs_shard = None
 
     @_ft.partial(
         jax.jit, static_argnames=("iters", "huber_delta", "fix_first_cam",
@@ -652,7 +775,8 @@ def bundle_adjust_device(
                 p = jax.tree.map(sel, pf, p)
                 cost = jnp.where(do, cf, cost)
             p, lam, cost = _lm_iteration(
-                p, lam, cost, huber_delta, fix_first_cam
+                p, lam, cost, huber_delta, fix_first_cam, solver=solver,
+                pt_shard=pt_shard, obs_shard=obs_shard,
             )
             return (p, lam, cost), cost
 
@@ -689,6 +813,15 @@ def bundle_adjust_device(
             refilter_every, max_err_px,
         )
     return p, float(cost)
+
+
+def bundle_adjust_cg_device(problem: BAProblem, **kwargs):
+    """`bundle_adjust_device` with the matrix-free CG solver — the at-scale
+    path: O(n_obs) memory, demonstrated at 1k cams / 100k pts / 1M obs on
+    one v5e where the dense path's (n_pts, n_cams) scatter would need ~7 GB
+    for the scatter alone (SFM.md round-4 table)."""
+    kwargs["solver"] = "cg"
+    return bundle_adjust_device(problem, **kwargs)
 
 
 def make_distributed_ba_step(mesh, n_cg: int = 50, huber_delta: float = 1e9):

@@ -196,6 +196,53 @@ def test_dw5x5_mm_chain_matches_reference(rng):
     )
 
 
+def test_windowed_grid_sample_matches_packed(rng):
+    """Smooth-flow windowed warp gather == grid_sample on tile-smooth flows
+    (interpret mode), and the validity plan rejects rough/OOB flows."""
+    from roma_tpu.ops.grid_sample import grid_sample
+    from roma_tpu.ops.pallas.windowed_sample import (
+        _plan, _windowed_path, smoothness_ok,
+    )
+
+    B, H, W, C = 2, 24, 256, 9
+    feat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    # smooth flow: identity + slow sinusoidal displacement (few px)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx = 2.5 * jnp.sin(ys / 17.0) + 1.7 * jnp.cos(xs / 29.0)
+    dy = 1.5 * jnp.cos(ys / 23.0) - 2.0 * jnp.sin(xs / 31.0)
+    # keep targets in-bounds (edge plateaus stay tile-smooth)
+    tx_ = jnp.clip(xs + dx, 1.0, W - 2.0)
+    ty_ = jnp.clip(ys + dy, 1.0, H - 2.0)
+    gx = 2 * (tx_ + 0.5) / W - 1
+    gy = 2 * (ty_ + 0.5) / H - 1
+    grid = jnp.broadcast_to(
+        jnp.stack([gx, gy], -1)[None], (B, H, W, 2)
+    )
+    assert bool(smoothness_ok(feat, grid))
+    ref = np.asarray(grid_sample(feat, grid))
+    got = np.asarray(_windowed_path(feat, grid, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # random flow: must be rejected (fallback keeps exactness)
+    rough = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
+    assert not bool(smoothness_ok(feat, rough))
+
+    # non-tile-multiple output width (the wrapper's edge-pad + valid_hw
+    # path; padded columns must not poison tile minima or validity)
+    Wo0 = 200
+    grid_n = grid[:, :, :Wo0]
+    gp = jnp.pad(grid_n, ((0, 0), (0, 0), (0, 56), (0, 0)), mode="edge")
+    assert bool(smoothness_ok(feat, gp, valid_hw=(H, Wo0)))
+    got = np.asarray(
+        _windowed_path(feat, gp, interpret=True, valid_hw=(H, Wo0))
+    )[:, :, :Wo0]
+    ref = np.asarray(grid_sample(feat, grid_n))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 @pytest.mark.parametrize(
     "shape,r",
     [((2, 12, 16, 128), 3), ((1, 10, 10, 256), 2), ((2, 9, 11, 128), 1),

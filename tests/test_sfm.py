@@ -298,6 +298,74 @@ def test_ba_device_driver_recovers_from_perturbation():
     assert ate["ate_rmse"] < 1e-3, ate
 
 
+def test_ba_cg_solver_matches_dense_quality():
+    """The matrix-free CG solver (block-Jacobi(S)-preconditioned f32 CG +
+    f64 iterative refinement) reaches the dense f64 Schur path's quality on
+    the same perturbed problem — the at-scale path must not trade accuracy."""
+    from roma_tpu.sfm.bundle_adjust import bundle_adjust_device
+
+    w = make_world(noise_px=0.0)
+    cams_gt = cams_to_param(w["cams"])
+    rng = np.random.default_rng(1)
+    cams0 = cams_gt + rng.normal(0, 0.01, cams_gt.shape).astype(np.float32)
+    cams0[0] = cams_gt[0]
+    X0 = w["X"].astype(np.float32) + rng.normal(0, 0.05, w["X"].shape).astype(
+        np.float32
+    )
+    prob = BAProblem(
+        cameras=jnp.asarray(cams0),
+        points=jnp.asarray(X0),
+        intrinsics=jnp.asarray(np.tile(w["K"], (len(cams0), 1, 1))),
+        cam_idx=jnp.asarray(w["cam_idx"]),
+        pt_idx=jnp.asarray(w["pt_idx"]),
+        uv=jnp.asarray(w["uv"]),
+        mask=jnp.ones(len(w["uv"]), jnp.float32),
+    )
+    out, cost = bundle_adjust_device(prob, iters=15, solver="cg")
+    assert cost < 1e-4, cost
+    est_centers = np.stack(
+        [
+            -np.asarray(rodrigues(c[:3])).T @ np.asarray(c[3:])
+            for c in np.asarray(out.cameras)
+        ]
+    )
+    gt_centers = np.stack([-R.T @ t for R, t in w["cams"]])
+    ate = absolute_trajectory_error(est_centers, gt_centers, with_scale=False)
+    assert ate["ate_rmse"] < 1e-3, ate
+
+
+@pytest.mark.slow
+def test_ba_cg_sharded_matches_replicated():
+    """CG path, larger world: 8-way sharded (observations AND point blocks
+    constrained to the mesh) == 1-way, at a scale with real point fan-out."""
+    from roma_tpu.parallel.mesh import make_mesh
+    from roma_tpu.sfm.bundle_adjust import bundle_adjust_device
+
+    w = make_world(n_cams=16, n_pts=1500, noise_px=0.5)
+    cams0 = cams_to_param(w["cams"])
+    rng = np.random.default_rng(3)
+    cams0 = cams0 + rng.normal(0, 0.005, cams0.shape).astype(np.float32)
+    X0 = w["X"].astype(np.float32) + rng.normal(0, 0.02, w["X"].shape).astype(
+        np.float32
+    )
+    n_obs = len(w["uv"])
+    pad = (-n_obs) % 8
+    prob = BAProblem(
+        cameras=jnp.asarray(cams0),
+        points=jnp.asarray(X0),
+        intrinsics=jnp.asarray(np.tile(w["K"], (len(cams0), 1, 1))),
+        cam_idx=jnp.asarray(np.pad(w["cam_idx"], (0, pad))),
+        pt_idx=jnp.asarray(np.pad(w["pt_idx"], (0, pad))),
+        uv=jnp.asarray(np.pad(w["uv"], ((0, pad), (0, 0)))),
+        mask=jnp.asarray(np.pad(np.ones(n_obs, np.float32), (0, pad))),
+    )
+    _, cost1 = bundle_adjust_device(prob, iters=6, solver="cg")
+    _, cost8 = bundle_adjust_device(
+        prob, iters=6, solver="cg", mesh=make_mesh(n_data=8)
+    )
+    np.testing.assert_allclose(cost1, cost8, rtol=1e-3)
+
+
 def test_ba_device_driver_sharded_matches_replicated():
     """The same jitted LM loop with the observation axis sharded 8-way gives
     the same final cost (collectives preserve the math)."""
