@@ -74,7 +74,13 @@ def _smooth_flow_params(matcher):
 def bench_full_roma(batch: int = 8, iters: int = 3, flow: str = "random") -> dict:
     from roma_tpu.models.zoo import roma_outdoor
 
-    matcher = roma_outdoor()
+    # the smooth variant also turns on the windowed warp-gather kernel
+    # (RomaConfig.smooth_warp_gather): with every flow field smooth, its
+    # validity check passes and the scale-1 warps take the windowed path —
+    # the closest available estimate of trained-weight (real-data) behavior
+    matcher = roma_outdoor(
+        smooth_warp_gather="fast" if flow == "smooth" else False
+    )
     if flow == "smooth":
         matcher.params = _smooth_flow_params(matcher)
     rng = np.random.default_rng(0)

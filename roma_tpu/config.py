@@ -99,11 +99,13 @@ class RomaConfig:
     refine_init: float = 4.0      # delta-flow scaling (matcher.py:297,397-399)
     disp_emb_gain: float = 40.0 / 32.0  # displacement embedding scale (matcher.py:120)
     # route narrow-channel warp gathers through the smoothness-exploiting
-    # windowed Pallas kernel (ops/pallas/windowed_sample.py): a big win on
-    # trained-weight (smooth) flows, with an exact whole-batch fallback to
-    # the gather emitter on rough flows. Off the headline path by default
-    # (the random-init bench never passes its validity check anyway).
-    smooth_warp_gather: bool = False
+    # windowed Pallas kernel (ops/pallas/windowed_sample.py). False: plain
+    # gather emitter. True/"exact": windowed with a proven whole-batch
+    # fallback (always exact; the cond costs ~20% of the win). "fast":
+    # windowed unconditionally, window-clamped on rough tiles — the
+    # trained-weight deployment mode (+16% end-to-end on smooth flows).
+    # Off the headline path by default (random-init flows are never smooth).
+    smooth_warp_gather: bool | str = False
     # per-scale refiners; dims follow roma_models.py:40-114
     refiners: Mapping[str, RefinerConfig] = dataclasses.field(
         default_factory=lambda: {

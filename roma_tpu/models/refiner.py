@@ -180,7 +180,8 @@ class ConvRefiner(nn.Module):
     kernel_size: int = 5
     disp_emb_gain: float = 40.0 / 32.0
     dtype: jnp.dtype = jnp.bfloat16
-    smooth_warp: bool = False     # RomaConfig.smooth_warp_gather
+    smooth_warp: bool | str = False  # RomaConfig.smooth_warp_gather:
+                                  # False | True/"exact" | "fast"
 
     @nn.compact
     def __call__(
@@ -200,7 +201,8 @@ class ConvRefiner(nn.Module):
         if self.smooth_warp and not train and y.shape[-1] <= 16:
             from roma_tpu.ops.pallas.windowed_sample import grid_sample_smooth
 
-            x_hat = grid_sample_smooth(y, flow).astype(self.dtype)
+            mode = "fast" if self.smooth_warp == "fast" else "exact"
+            x_hat = grid_sample_smooth(y, flow, mode=mode).astype(self.dtype)
         else:
             x_hat = grid_sample(y, flow).astype(self.dtype)
 

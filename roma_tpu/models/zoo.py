@@ -33,6 +33,7 @@ def roma_outdoor(
     coarse_res: int | tuple[int, int] = 560,
     upsample_res: int | tuple[int, int] = 864,
     seed: int = 0,
+    smooth_warp_gather: bool = False,
 ) -> RomaMatcher:
     if isinstance(coarse_res, int):
         coarse_res = (coarse_res, coarse_res)
@@ -41,7 +42,10 @@ def roma_outdoor(
     assert coarse_res[0] % 14 == 0 and coarse_res[1] % 14 == 0, (
         "coarse resolution must be a multiple of 14 (ViT-L/14 patches)"
     )
-    cfg = RomaConfig(coarse_resolution=coarse_res, upsample_resolution=upsample_res)
+    cfg = RomaConfig(
+        coarse_resolution=coarse_res, upsample_resolution=upsample_res,
+        smooth_warp_gather=smooth_warp_gather,
+    )
     if params is not None:
         return RomaMatcher(params, cfg)
     return RomaMatcher.init(jax.random.PRNGKey(seed), cfg)

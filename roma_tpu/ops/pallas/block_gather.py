@@ -126,6 +126,8 @@ def _pipeline_depth(radius: int, C: int) -> int:
     128)."""
     K2 = 2 * radius + 2
     block = K2 * _shift_depth(radius) * C * 2
+    # (T=80 via a 5 MB budget measured identical to T=64 — ~210 GB/s is this
+    # access pattern's ceiling; keep the smaller footprint for fusion headroom)
     return max(8, min(128, (4 * 1024 * 1024 // block) // 8 * 8))
 
 

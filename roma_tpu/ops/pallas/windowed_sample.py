@@ -6,16 +6,16 @@ fields are SMOOTH: neighbouring output pixels sample neighbouring source
 pixels, so an (8, 128) tile of outputs reads from a small source window.
 This kernel exploits that:
 
-- the source is pre-arranged in a 16-deep row-SHIFT layout blocked 128-wide
-  in x (same trick as ops/pallas/block_gather: dynamic offsets are only
-  legal on untiled dims, so both window origins resolve at DMA time):
-      L[b, s, yb, xb, c, rr, xx] = src[b, yb*16 + rr + s, xb*128 + xx, c]
-- per output tile, 3 column-blocks x 16 shifted rows land in VMEM with the
-  tile's exact y-origin; a dynamic lane ROLL aligns the x-origin (Mosaic
-  supports dynamic positive roll amounts; dynamic lane SLICES do not
-  compile);
+- the source is pre-arranged (B, Yb, Xb, C, 8, 128) — y in 8-row blocks, x
+  in 128-col blocks, so BOTH window origins resolve at DMA time via untiled
+  leading dims at block granularity (a 16-deep row-shift layout gave exact
+  y origins but cost 16 source copies — 5.8 GB at the bench batch — the
+  block-granular origins cost only a wider row enumeration);
+- per output tile, 3x3 blocks (24 rows x 384 cols) land in VMEM; a dynamic
+  lane ROLL aligns the x-origin (Mosaic supports dynamic positive roll
+  amounts; dynamic lane SLICES do not compile);
 - the bilinear sample then becomes a static (rr, j) enumeration over the
-  16 x E window: value = sum_rr sum_j wrow_rr * wcol_j * buf[c, rr, j:j+128]
+  24 x E window: value = sum_rr sum_j wrow_rr * wcol_j * buf[c, rr, j:j+128]
   — all static slices, all (8, 128) vector ops.
 
 EXACTNESS CONTRACT: the public wrapper computes per-tile validity on the
@@ -36,11 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# window geometry (static): 16-row shift depth, E-wide x-disparity window,
-# (TH, TW) = (8, 128) output tiles, 3 fetched 128-wide column blocks
+# window geometry (static): 3 fetched 8-row y-blocks (24 rows: <=14 of
+# y-range + 8 of block-alignment slop + the +1 bilinear row), E-wide
+# x-disparity window, (TH, TW) = (8, 128) output tiles, 3 128-col x-blocks
 _E = 8
 _TH, _TW = 8, 128
 _NXB = 3
+_NYB = 3
 
 
 def _kernel(tile_ref, y0r_ref, e_ref, wx_ref, wy_ref, L_ref, out_ref,
@@ -49,20 +51,21 @@ def _kernel(tile_ref, y0r_ref, e_ref, wx_ref, wy_ref, L_ref, out_ref,
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     t = ty * n_tx + tx
-    s = tile_ref[t, 0]        # y0min % 16
-    yb = tile_ref[t, 1]       # y0min // 16
-    xb = tile_ref[t, 2]       # j0_abs // 128
-    off = tile_ref[t, 3]      # j0_abs % 128
-    for i in range(_NXB):
-        pltpu.make_async_copy(
-            L_ref.at[b, s, yb, xb + i], buf.at[i], sem
-        ).start()
-    for i in range(_NXB):
-        pltpu.make_async_copy(
-            L_ref.at[b, s, yb, xb + i], buf.at[i], sem
-        ).wait()
+    yb = tile_ref[t, 0]       # y0min // 8 (block-granular y origin)
+    xb = tile_ref[t, 1]       # j0_abs // 128
+    off = tile_ref[t, 2]      # j0_abs % 128
+    for i in range(_NYB):
+        for j in range(_NXB):
+            pltpu.make_async_copy(
+                L_ref.at[b, yb + i, xb + j], buf.at[i, j], sem
+            ).start()
+    for i in range(_NYB):
+        for j in range(_NXB):
+            pltpu.make_async_copy(
+                L_ref.at[b, yb + i, xb + j], buf.at[i, j], sem
+            ).wait()
 
-    y0r = y0r_ref[...]        # (TH, TW) int32: y0 - y0min in [0, 14]
+    y0r = y0r_ref[...]        # (TH, TW) int32: y0 - yb*8 in [0, 22]
     e = e_ref[...]            # (TH, TW) int32: x0 - w - j0_abs in [0, E-2]
     wx = wx_ref[...]          # (TH, TW) f32
     wy = wy_ref[...]
@@ -70,7 +73,7 @@ def _kernel(tile_ref, y0r_ref, e_ref, wx_ref, wy_ref, L_ref, out_ref,
     wrow = [
         jnp.where(y0r == rr, 1.0 - wy, 0.0)
         + (jnp.where(y0r == rr - 1, wy, 0.0) if rr >= 1 else 0.0)
-        for rr in range(16)
+        for rr in range(_NYB * 8)
     ]
     wcol = [
         jnp.where(e == j, 1.0 - wx, 0.0)
@@ -78,15 +81,22 @@ def _kernel(tile_ref, y0r_ref, e_ref, wx_ref, wy_ref, L_ref, out_ref,
         for j in range(_E)
     ]
     for c in range(C):
-        # (16, 3*128) channel plane, x-origin aligned to lane 0 via dynamic
+        # (24, 3*128) channel plane, x-origin aligned to lane 0 via dynamic
         # roll (positive amounts only — negative dynamic rolls miscompile;
         # bf16 dynamic_rotate doesn't lower on v5e Mosaic, so roll in f32)
         plane = jnp.concatenate(
-            [buf[i, c].astype(jnp.float32) for i in range(_NXB)], axis=1
+            [
+                jnp.concatenate(
+                    [buf[i, j, c].astype(jnp.float32) for j in range(_NXB)],
+                    axis=1,
+                )
+                for i in range(_NYB)
+            ],
+            axis=0,
         )
         plane = pltpu.roll(plane, _NXB * _TW - off, 1)
         acc = jnp.zeros((_TH, _TW), jnp.float32)
-        for rr in range(16):
+        for rr in range(_NYB * 8):
             for j in range(_E):
                 w = wrow[rr] * wcol[j]
                 acc = acc + w * jax.lax.broadcast_in_dim(
@@ -96,20 +106,15 @@ def _kernel(tile_ref, y0r_ref, e_ref, wx_ref, wy_ref, L_ref, out_ref,
         out_ref[c] = acc.astype(out_ref.dtype)
 
 
-def _shift_layout_xblocked(src: jax.Array) -> jax.Array:
-    """(B, Hp, Wp, C) zero-padded source -> (B, 16, Hb, Xb, C, 16, 128)."""
+def _block_layout(src: jax.Array) -> jax.Array:
+    """(B, Hp, Wp, C) zero-padded source -> (B, Yb, Xb, C, 8, 128): pure
+    blocked reshape, NO copies beyond the one relayout (the y/x origins are
+    block-granular; the kernel's row enumeration absorbs the slop)."""
     B, Hp, Wp, C = src.shape
-    S = 16
-    Hb = (Hp + S - 1) // S
+    Yb = (Hp + 7) // 8
     Xb = Wp // 128
-    srcp = jnp.pad(src, ((0, 0), (0, Hb * S + S - 1 - Hp), (0, 0), (0, 0)))
-    shifts = [
-        srcp[:, s : s + Hb * S]
-        .reshape(B, Hb, S, Xb, 128, C)
-        .transpose(0, 1, 3, 5, 2, 4)  # (B, Hb, Xb, C, S, 128)
-        for s in range(S)
-    ]
-    return jnp.stack(shifts, axis=1)  # (B, S, Hb, Xb, C, S, 128)
+    srcp = jnp.pad(src, ((0, 0), (0, Yb * 8 - Hp), (0, 0), (0, 0)))
+    return srcp.reshape(B, Yb, 8, Xb, 128, C).transpose(0, 1, 3, 5, 2, 4)
 
 
 def _plan(feat, grid, valid_hw=None):
@@ -166,19 +171,22 @@ def _plan(feat, grid, valid_hw=None):
     j0c = j0_abs - txo
     y0min = jnp.clip(y0min, 0, H + 2 * PAD - 2)
 
-    y0rel = y0t - y0min[:, :, None, :, None]
+    # y origin at 8-row block granularity: the enumeration covers
+    # y0rel in [0, _NYB*8 - 2] (range <= 14 + 7 alignment slop + 1 bilinear)
+    ybase = (y0min // 8) * 8
+    y0rel = y0t - ybase[:, :, None, :, None]
     e5 = d - j0c[:, :, None, :, None]
     ok = (
-        jnp.all(jnp.where(realt, y0rel, 0) <= 14)
+        jnp.all(jnp.where(realt, y0rel, 0) <= _NYB * 8 - 2)
         & jnp.all(jnp.where(realt, (e5 >= 0) & (e5 <= _E - 2), True))
         & jnp.all(jnp.where(real, inb, True))
     )
     # tile-padding pixels: clamp into the fetched window (results discarded)
-    y0rel = jnp.clip(y0rel, 0, 14)
+    y0rel = jnp.clip(y0rel, 0, _NYB * 8 - 2)
     e5 = jnp.clip(e5, 0, _E - 2)
     tile = jnp.stack(
-        [y0min % 16, y0min // 16, j0_abs // 128, j0_abs % 128], axis=-1
-    ).reshape(B, n_ty * n_tx, 4)
+        [y0min // 8, j0_abs // 128, j0_abs % 128], axis=-1
+    ).reshape(B, n_ty * n_tx, 3)
     return (
         tile, y0rel.reshape(B, Ho, Wo), e5.reshape(B, Ho, Wo),
         wx, wy, Wp, ok,
@@ -196,15 +204,15 @@ def _windowed_path(feat, grid, interpret=False, valid_hw=None):
     tile, y0r, e, wx, wy, Wp, _ok = _plan(feat, grid, valid_hw)
 
     PADX = 128
-    featp = jnp.pad(feat, ((0, 0), (PAD, PAD + 16), (PADX, 0), (0, 0)))
+    featp = jnp.pad(feat, ((0, 0), (PAD, PAD + 3 * 8), (PADX, 0), (0, 0)))
     featp = jnp.pad(featp, ((0, 0), (0, 0), (0, Wp - featp.shape[2]), (0, 0)))
-    L = _shift_layout_xblocked(featp)
+    L = _block_layout(featp)
 
     out = pl.pallas_call(
         functools.partial(_kernel, C=C, n_tx=n_tx),
         grid=(B, n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec((None, n_ty * n_tx, 4), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((None, n_ty * n_tx, 3), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, _TH, _TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
@@ -222,7 +230,7 @@ def _windowed_path(feat, grid, interpret=False, valid_hw=None):
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, Ho, Wo), feat.dtype),
         scratch_shapes=[
-            pltpu.VMEM((_NXB, C, 16, 128), feat.dtype),
+            pltpu.VMEM((_NYB, _NXB, C, 8, 128), feat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -236,10 +244,21 @@ def smoothness_ok(feat, grid, valid_hw=None):
     return _plan(feat, grid, valid_hw)[6]
 
 
-def grid_sample_smooth(feat: jax.Array, grid: jax.Array) -> jax.Array:
-    """grid_sample(zeros padding) that takes the windowed fast path when the
-    WHOLE batch of flows is tile-smooth, and falls back to the packed gather
-    emitter otherwise (identical semantics either way)."""
+def grid_sample_smooth(
+    feat: jax.Array, grid: jax.Array, mode: str = "exact"
+) -> jax.Array:
+    """grid_sample(zeros padding) exploiting flow smoothness.
+
+    mode="exact": proves whole-batch tile-smoothness on the XLA side and
+    `lax.cond`s between the windowed kernel and the packed emitter —
+    bit-consistent for ANY flow, but the cond (branch-isolation copies) +
+    validity plan cost ~0.2x of the kernel's win in-model.
+    mode="fast": runs the windowed kernel unconditionally with the plan
+    indices CLAMPED into each tile's fetched window — pixel-exact wherever
+    a tile is smooth and in-bounds (everywhere, for trained-weight flows),
+    window-clamped approximation on rough tiles. The deployment path for
+    real weights: +16% end-to-end on the smooth-flow bench variant where
+    "exact" nets -4% (PERF.md round 4)."""
     from roma_tpu.ops.grid_sample import grid_sample
 
     B, H, W, C = feat.shape
@@ -252,6 +271,8 @@ def grid_sample_smooth(feat: jax.Array, grid: jax.Array) -> jax.Array:
     pw = (-Wo) % _TW
     gp = jnp.pad(grid, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
     vhw = (Ho, Wo)
+    if mode == "fast":
+        return _windowed_path(feat, gp, valid_hw=vhw)[:, :Ho, :Wo]
     ok = smoothness_ok(feat, gp, valid_hw=vhw)
     out = jax.lax.cond(
         ok,
