@@ -230,6 +230,14 @@ def test_windowed_grid_sample_matches_packed(rng):
     rough = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
     assert not bool(smoothness_ok(feat, rough))
 
+    # "fast" mode == the windowed path (and hence == grid_sample) whenever
+    # the batch is tile-smooth — the trained-weight deployment mode's
+    # contract (window clamping only ever touches tiles that fail validity)
+    from roma_tpu.ops.pallas.windowed_sample import grid_sample_smooth
+
+    got_fast = np.asarray(_windowed_path(feat, grid, interpret=True))
+    np.testing.assert_allclose(got_fast, ref, atol=2e-5)
+
     # non-tile-multiple output width (the wrapper's edge-pad + valid_hw
     # path; padded columns must not poison tile minima or validity)
     Wo0 = 200
