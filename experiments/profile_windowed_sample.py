@@ -88,10 +88,12 @@ def main():
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
     print(f"on-device windowed vs packed max abs err: {err:.2e}")
 
+    gsf = jax.jit(lambda f, g: grid_sample_smooth(f, g, mode="fast"))
     timed(gs, feat, smooth, name="packed emitter, smooth flow")
-    timed(gss, feat, smooth, name="grid_sample_smooth, smooth flow (windowed)")
+    timed(gss, feat, smooth, name="grid_sample_smooth exact, smooth flow")
+    timed(gsf, feat, smooth, name="grid_sample_smooth fast, smooth flow")
     timed(gs, feat, random_flow, name="packed emitter, random flow")
-    timed(gss, feat, random_flow, name="grid_sample_smooth, random flow (fallback)")
+    timed(gss, feat, random_flow, name="grid_sample_smooth exact, random (fallback)")
 
 
 if __name__ == "__main__":
