@@ -265,11 +265,32 @@ def kernel_selftest() -> dict:
     ).lower(p8, f8, f8, fl8).as_text()
     out["dma_gate_engaged"] = float(0.0 if "tpu_custom_call" in hlo else 1.0)
 
+    # windowed smooth-warp gate ENGAGEMENT (VERDICT r4 weak #2): a refiner
+    # built with smooth_warp="fast" at scale-1-like shapes must lower its
+    # warp through the windowed Pallas kernel. hidden_dim=64 keeps the
+    # dw-chain fusion off and local_corr_radius=None keeps the DMA kernel
+    # out, so this graph contains a tpu_custom_call IFF the windowed
+    # routing (refiner gate + wrapper backend/C gates) engaged.
+    sw_mod = ConvRefiner(
+        hidden_dim=64, displacement_emb_dim=46, hidden_blocks=1,
+        smooth_warp="fast",
+    )
+    f1s = jnp.zeros((1, 16, 128, 9), jnp.bfloat16)
+    fl1 = jnp.broadcast_to(coord_grid(16, 128), (1, 16, 128, 2))
+    p1 = jax.eval_shape(sw_mod.init, jax.random.PRNGKey(0), f1s, f1s, fl1)
+    p1 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), p1)
+    hlo = jax.jit(
+        lambda p, a, b, fl: sw_mod.apply(p, a, b, fl)
+    ).lower(p1, f1s, f1s, fl1).as_text()
+    out["windowed_gate_engaged"] = float(
+        0.0 if "tpu_custom_call" in hlo else 1.0
+    )
+
     out["value"] = max(
         out["flash_attention"], out["dw5x5_nhwc"], out["dw5x5_nhcw"],
         out["fused_corr_softmax"], out["grid_sample"],
         out["local_corr_dma_vs_xla"], out["dw5x5_mm_fused"],
-        out["dma_gate_engaged"],
+        out["dma_gate_engaged"], out["windowed_gate_engaged"],
     )
     out["vs_baseline"] = 1.0
     return out
@@ -283,4 +304,12 @@ if __name__ == "__main__":
     elif "--tiny" in sys.argv:
         print(json.dumps(bench_tiny()))
     else:
-        print(json.dumps(bench_full_roma()))
+        # the conservative random-flow number is the headline; the
+        # smooth-flow (trained-weight-regime, windowed-gather) number rides
+        # along in the same JSON line so the driver records BOTH
+        # trajectories per round (VERDICT r4 #7)
+        res = bench_full_roma()
+        sm = bench_full_roma(flow="smooth")
+        res["smooth_pairs_per_s"] = sm["value"]
+        res["smooth_vs_baseline"] = sm["vs_baseline"]
+        print(json.dumps(res))

@@ -211,11 +211,16 @@ class MegaDepthPoseEstimationBenchmark:
         B = self.batch_size
         shuffle_rng = np.random.default_rng(self.seed)
         key = jax.random.PRNGKey(0)
+        cfg = getattr(matcher, "cfg", None)
         fast = (
             hasattr(matcher, "match_prepped")
             and hasattr(matcher, "host_resize_np")
+            # duck-typed matchers without a config take the documented
+            # per-pair fallback instead of raising inside loader threads
+            and cfg is not None
+            and hasattr(cfg, "coarse_resolution")
+            and hasattr(cfg, "upsample_preds")
         )
-        cfg = getattr(matcher, "cfg", None)
 
         def load(item):
             path_a, path_b = item[0], item[1]

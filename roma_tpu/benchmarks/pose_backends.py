@@ -12,6 +12,8 @@ cv2.findEssentialMat / PoseLib; falls back to "numpy" if the build fails.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 try:
@@ -29,19 +31,27 @@ from roma_tpu.estimation.essential import estimate_pose as _estimate_pose_native
 # (a silent bare-except could mask real C++ bugs inside benchmark numbers —
 # ADVICE r2).
 _NATIVE_BIND: list | None = None  # [fn | None, Exception | None]
+_NATIVE_BIND_LOCK = threading.Lock()
 
 
 def _bind_native():
+    # double-checked lock (ADVICE r4): the batched harness calls this from a
+    # ThreadPoolExecutor, and the GIL is released during load_library's
+    # subprocess make — without the lock, concurrent first calls race the
+    # build and can memoize a corrupted-load error, silently downgrading the
+    # whole eval to the numpy backend
     global _NATIVE_BIND
     if _NATIVE_BIND is None:
-        try:
-            from roma_tpu.estimation.native import estimate_pose_cpp
-            from roma_tpu.estimation.native import load_library
+        with _NATIVE_BIND_LOCK:
+            if _NATIVE_BIND is None:
+                try:
+                    from roma_tpu.estimation.native import estimate_pose_cpp
+                    from roma_tpu.estimation.native import load_library
 
-            load_library()  # build/bind now (cached .so makes this a no-op)
-            _NATIVE_BIND = [estimate_pose_cpp, None]
-        except Exception as e:  # pragma: no cover - build-env dependent
-            _NATIVE_BIND = [None, e]
+                    load_library()  # build/bind (cached .so -> no-op)
+                    _NATIVE_BIND = [estimate_pose_cpp, None]
+                except Exception as e:  # pragma: no cover - build-env dependent
+                    _NATIVE_BIND = [None, e]
     return _NATIVE_BIND
 
 

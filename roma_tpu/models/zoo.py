@@ -33,8 +33,13 @@ def roma_outdoor(
     coarse_res: int | tuple[int, int] = 560,
     upsample_res: int | tuple[int, int] = 864,
     seed: int = 0,
-    smooth_warp_gather: bool = False,
+    smooth_warp_gather: bool | str = False,
 ) -> RomaMatcher:
+    """`smooth_warp_gather`: tri-state (RomaConfig.smooth_warp_gather) —
+    False keeps the packed-gather warp; True/"exact" routes scale-1 warps
+    through the windowed kernel with a proven lax.cond fallback; "fast"
+    runs it unconditionally (window-clamped on rough tiles — the
+    trained-weight deployment mode, see ops/pallas/windowed_sample.py)."""
     if isinstance(coarse_res, int):
         coarse_res = (coarse_res, coarse_res)
     if isinstance(upsample_res, int):
