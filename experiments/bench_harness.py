@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--sample-num", type=int, default=5000)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--device-resize", action="store_true",
+                    help="ship ORIGINAL-resolution uint8 and resize on "
+                         "device (PIL-parity matrix banks): ~3.5x fewer "
+                         "upload bytes on the tunneled link")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -80,12 +84,14 @@ def main():
             data_root=root, scene_names=["scene.npz"],
             pose_backend=args.backend, sample_num=args.sample_num,
             batch_size=args.batch, workers=args.workers,
+            device_resize=args.device_resize,
         )
         # warm: compile both passes + sampling at the fixed resolutions
         warm = MegaDepthPoseEstimationBenchmark(
             data_root=root, scene_names=["scene.npz"],
             pose_backend=args.backend, sample_num=args.sample_num,
             batch_size=args.batch, workers=args.workers,
+            device_resize=args.device_resize,
             shard=(0, args.pairs),  # 1 pair (padded to a full batch if batched)
         )
         t0 = time.perf_counter()

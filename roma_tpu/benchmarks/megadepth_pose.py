@@ -72,6 +72,7 @@ class MegaDepthPoseEstimationBenchmark:
         seed: int = 0,
         batch_size: int = 1,
         workers: int = 8,
+        device_resize: bool = False,
     ) -> None:
         self.seed = seed
         self.data_root = data_root
@@ -87,6 +88,11 @@ class MegaDepthPoseEstimationBenchmark:
         self.shard = shard
         self.batch_size = batch_size
         self.workers = workers
+        # ship ORIGINAL-resolution uint8 + PIL-parity resize on device
+        # (VERDICT r4 #3): ~3.5x fewer upload bytes on the ~38 MB/s tunnel.
+        # Off by default: the host-PIL path is the bit-exact protocol
+        # reference; device resize matches it to <=1 uint8 level.
+        self.device_resize = device_resize
 
     def _load_image(self, path: str) -> tuple["Image.Image", int, int]:
         # hand the matcher the PIL image: RomaMatcher then resizes on HOST
@@ -199,144 +205,55 @@ class MegaDepthPoseEstimationBenchmark:
         return tot_e_pose
 
     def _collect_errors_batched(self, matcher) -> list[float]:
-        """Batched path: prefetching host load/prep -> stacked jitted match ->
-        vmapped sampling -> threaded RANSAC. Identical RNG order to serial.
-
-        Falls back to per-pair match/sample inside each batch for matchers
-        without the batched API (e.g. test oracles) — image loading and pose
-        estimation still overlap."""
-        from concurrent.futures import ThreadPoolExecutor
+        """Batched path via the shared engine (harness_core.run_batched_eval):
+        prefetching host load/prep -> stacked jitted match -> vmapped
+        sampling -> threaded RANSAC. Identical RNG order to serial."""
+        from roma_tpu.benchmarks.harness_core import run_batched_eval
 
         items = self._pair_list()
-        B = self.batch_size
         shuffle_rng = np.random.default_rng(self.seed)
-        key = jax.random.PRNGKey(0)
-        cfg = getattr(matcher, "cfg", None)
-        fast = (
-            hasattr(matcher, "match_prepped")
-            and hasattr(matcher, "host_resize_np")
-            # duck-typed matchers without a config take the documented
-            # per-pair fallback instead of raising inside loader threads
-            and cfg is not None
-            and hasattr(cfg, "coarse_resolution")
-            and hasattr(cfg, "upsample_preds")
+
+        def finish(idx, item, sparse, sizes):
+            _pa, _pb, K1, K2, R, t = item
+            w1, h1, w2, h2 = sizes
+            K1s, K2s, (w1s, h1s, w2s, h2s) = self._rescale(
+                K1, K2, w1, h1, w2, h2
+            )
+            norm_threshold = 0.5 / (
+                np.mean(np.abs(K1s[:2, :2])) + np.mean(np.abs(K2s[:2, :2]))
+            )
+            # shared-RNG draws stay on the main thread (serial order); the
+            # sparse VALUES resolve on the pool (np.asarray may device-fetch)
+            perms = [
+                shuffle_rng.permutation(sparse.shape[0])
+                for _ in range(self.num_ransac_runs)
+            ]
+
+            def job():
+                sp = np.asarray(sparse)
+                kpts1 = np.asarray(
+                    matcher.to_pixel_coordinates(sp[:, :2], h1s, w1s)
+                )
+                kpts2 = np.asarray(
+                    matcher.to_pixel_coordinates(sp[:, 2:], h2s, w2s)
+                )
+                return self._estimate_reps(
+                    kpts1, kpts2, K1s, K2s, R, t, norm_threshold, perms
+                )
+
+            return job, ()
+
+        per_pair = run_batched_eval(
+            matcher, items,
+            paths=lambda it: (it[0], it[1]),
+            finish=finish,
+            sample_num=self.sample_num,
+            batch_size=self.batch_size,
+            workers=self.workers,
+            device_resize=self.device_resize,
+            sample_key=jax.random.PRNGKey(0),
         )
-
-        def load(item):
-            path_a, path_b = item[0], item[1]
-            im_a, w1, h1 = self._load_image(path_a)
-            im_b, w2, h2 = self._load_image(path_b)
-            if not fast:
-                return im_a, im_b, None, None, (w1, h1, w2, h2)
-            # uint8 resizes: normalization happens on device (the tunneled
-            # host->device link is the batched path's bottleneck at f32)
-            hc, wc = cfg.coarse_resolution
-            a = matcher.host_resize_np(im_a, hc, wc)
-            b = matcher.host_resize_np(im_b, hc, wc)
-            a2 = b2 = None
-            if cfg.upsample_preds:
-                hu, wu = cfg.upsample_resolution
-                a2 = matcher.host_resize_np(im_a, hu, wu)
-                b2 = matcher.host_resize_np(im_b, hu, wu)
-            return a, b, a2, b2, (w1, h1, w2, h2)
-
-        n = len(items)
-        errors: list[list[float] | None] = [None] * n
-        with ThreadPoolExecutor(self.workers) as loaders, \
-                ThreadPoolExecutor(1) as uploader, \
-                ThreadPoolExecutor(self.workers) as posers:
-            load_futs: dict[int, object] = {}
-
-            def ensure_loads(upto):
-                for j in range(min(upto, n)):
-                    if j not in load_futs:
-                        load_futs[j] = loaders.submit(load, items[j])
-
-            def upload(futs):
-                """Runs on the 1-thread uploader: waits for the batch's
-                loads, stacks, and ships the uint8 stacks to the device so
-                batch k+1's transfer overlaps batch k's matching."""
-                loaded = [f.result() for f in futs]
-                nb = len(loaded)
-                if not fast:
-                    return loaded, None
-                # pad partial batches (repeat last) so the jit compiles
-                # exactly once per batch shape
-                padded = loaded + [loaded[-1]] * (B - nb)
-                a = jax.device_put(np.stack([x[0] for x in padded]))
-                b = jax.device_put(np.stack([x[1] for x in padded]))
-                if cfg.upsample_preds:
-                    a2 = jax.device_put(np.stack([x[2] for x in padded]))
-                    b2 = jax.device_put(np.stack([x[3] for x in padded]))
-                else:
-                    a2 = b2 = None
-                return loaded, (a, b, a2, b2)
-
-            def submit_upload(start):
-                stop = min(start + B, n)
-                ensure_loads(stop + 2 * B)
-                futs = [load_futs.pop(j) for j in range(start, stop)]
-                return uploader.submit(upload, futs)
-
-            pose_futs = []
-            pending = submit_upload(0)
-            for start in range(0, n, B):
-                stop = min(start + B, n)
-                loaded, arrays = pending.result()
-                if stop < n:
-                    pending = submit_upload(stop)
-                nb = stop - start
-                if fast:
-                    warps, certs = matcher.match_prepped(*arrays)
-                else:
-                    outs = [matcher.match(x[0], x[1]) for x in loaded]
-                    warps = jnp.stack([o[0] for o in outs])
-                    certs = jnp.stack([o[1] for o in outs])
-                subs = []
-                for _ in range(nb):
-                    key, sub = jax.random.split(key)
-                    subs.append(sub)
-                if fast and hasattr(matcher, "sample_batched"):
-                    sparse_all = np.asarray(matcher.sample_batched(
-                        warps, certs, self.sample_num,
-                        subs + [subs[-1]] * (B - nb),
-                    )[0])[:nb]
-                else:
-                    sparse_all = np.stack([
-                        np.asarray(matcher.sample(
-                            warps[i], certs[i], self.sample_num, key=subs[i]
-                        )[0])
-                        for i in range(nb)
-                    ])
-                for i in range(nb):
-                    path_a, path_b, K1, K2, R, t = items[start + i]
-                    w1, h1, w2, h2 = loaded[i][4]
-                    sparse = sparse_all[i]
-                    K1s, K2s, (w1s, h1s, w2s, h2s) = self._rescale(
-                        K1, K2, w1, h1, w2, h2
-                    )
-                    kpts1 = np.asarray(
-                        matcher.to_pixel_coordinates(sparse[:, :2], h1s, w1s)
-                    )
-                    kpts2 = np.asarray(
-                        matcher.to_pixel_coordinates(sparse[:, 2:], h2s, w2s)
-                    )
-                    norm_threshold = 0.5 / (
-                        np.mean(np.abs(K1s[:2, :2]))
-                        + np.mean(np.abs(K2s[:2, :2]))
-                    )
-                    perms = [
-                        shuffle_rng.permutation(len(kpts1))
-                        for _ in range(self.num_ransac_runs)
-                    ]
-                    idx = start + i
-                    pose_futs.append((idx, posers.submit(
-                        self._estimate_reps, kpts1, kpts2, K1s, K2s, R, t,
-                        norm_threshold, perms,
-                    )))
-            for idx, fut in pose_futs:
-                errors[idx] = fut.result()
         out: list[float] = []
-        for e in errors:
+        for e in per_pair:
             out.extend(e)
         return out

@@ -33,7 +33,12 @@ from roma_tpu.models.refiner import ConvRefiner
 from roma_tpu.models.transformer import TransformerDecoder
 from roma_tpu.models.vgg import VGG19
 from roma_tpu.ops.corr import coord_grid
-from roma_tpu.ops.resize import interpolate_bilinear, resize_bicubic
+from roma_tpu.ops.resize import (
+    interpolate_bilinear,
+    pil_bicubic_matrix,
+    pil_bicubic_resize_device,
+    resize_bicubic,
+)
 from roma_tpu.utils.geometry import cls_to_flow_refine, normalized_to_pixel
 from roma_tpu.utils.sampling import sample_matches
 
@@ -269,6 +274,7 @@ class RomaMatcher:
         # fused resize+normalize for both images in one dispatch
         self._prep = jax.jit(self._preprocess, static_argnames=("hs", "ws"))
         self._norm_jit = jax.jit(self._norm_u8)
+        self._prep_raw = jax.jit(self._prep_raw_impl, static_argnames=("up",))
 
     @staticmethod
     def _preprocess(im_a, im_b, *, hs, ws):
@@ -458,6 +464,61 @@ class RomaMatcher:
             corresps[1]["flow"], corresps[1]["certainty"], cert16,
             hs=hs, ws=ws, symmetric=cfg.symmetric, attenuate=cfg.attenuate_cert,
         )
+
+    # ---- device-side resize fast path (VERDICT r4 #3): the tunneled
+    # host->device link moves ~38 MB/s, and shipping BOTH model resolutions
+    # as uint8 still costs ~6.4 MB/pair. Shipping the ORIGINAL-resolution
+    # uint8 once (~1.8 MB/pair for 480x640 sources) and doing PIL-parity
+    # antialiased bicubic on device via per-size interpolation-matrix banks
+    # cuts the upload 3.5x and serves both passes from one transfer.
+
+    def build_resize_banks(self, sizes, bucket):
+        """Device-resident PIL-parity resize matrix banks.
+
+        sizes: list of unique source (h, w); bucket: (Hb, Wb) padded-canvas
+        dims (>= every source). Returns a tuple of stacked device arrays
+        (ry_c, rx_c[, ry_u, rx_u]): bank row i resizes a zero-padded
+        (Hb, Wb) canvas holding a sizes[i] image exactly as PIL BICUBIC
+        resizes the unpadded image (columns beyond the source are zero).
+        Upload once; reuse for the whole eval."""
+        hb, wb = bucket
+        hc, wc = self.cfg.coarse_resolution
+        ry_c = np.stack([pil_bicubic_matrix(h, hc, hb) for h, _ in sizes])
+        rx_c = np.stack([pil_bicubic_matrix(w, wc, wb) for _, w in sizes])
+        banks = [jax.device_put(ry_c), jax.device_put(rx_c)]
+        if self.cfg.upsample_preds:
+            hu, wu = self.cfg.upsample_resolution
+            ry_u = np.stack([pil_bicubic_matrix(h, hu, hb) for h, _ in sizes])
+            rx_u = np.stack([pil_bicubic_matrix(w, wu, wb) for _, w in sizes])
+            banks += [jax.device_put(ry_u), jax.device_put(rx_u)]
+        return tuple(banks)
+
+    @staticmethod
+    def _prep_raw_impl(raw, idx, ry_c, rx_c, ry_u=None, rx_u=None, *, up=False):
+        """(2B, Hb, Wb, 3) uint8 canvases + per-image bank rows -> normalized
+        model-resolution batches for both passes, in one fused dispatch."""
+        x = raw.astype(jnp.float32)
+        xc = pil_bicubic_resize_device(x, ry_c[idx], rx_c[idx]) / 255.0
+        xc = (xc - IMAGENET_MEAN) / IMAGENET_STD
+        if not up:
+            return xc
+        xu = pil_bicubic_resize_device(x, ry_u[idx], rx_u[idx]) / 255.0
+        xu = (xu - IMAGENET_MEAN) / IMAGENET_STD
+        return xc, xu
+
+    def match_raw(self, raw, idx, banks):
+        """Batched two-pass match from ORIGINAL-resolution uint8 canvases.
+
+        raw: (2B, Hb, Wb, 3) uint8, zero-padded originals — the first B rows
+        are the A images, the last B the B images; idx: (2B,) int32 bank
+        rows; banks: from build_resize_banks. Equivalent to match_prepped on
+        host PIL resizes up to the <=1-uint8-level matrix-resize parity."""
+        B = raw.shape[0] // 2
+        if self.cfg.upsample_preds:
+            xc, xu = self._prep_raw(raw, idx, *banks, up=True)
+            return self.match_prepped(xc[:B], xc[B:], xu[:B], xu[B:])
+        xc = self._prep_raw(raw, idx, *banks, up=False)
+        return self.match_prepped(xc[:B], xc[B:])
 
     def sample_batched(self, warps, certs, num: int, keys):
         """Per-pair balanced sampling vmapped over the batch axis: one

@@ -102,6 +102,72 @@ def torch_bicubic_resize(
     return jnp.einsum("wj,...hjc->...hwc", mw, y).astype(x.dtype)
 
 
+def _pil_bicubic_filter(x: np.ndarray) -> np.ndarray:
+    """PIL's BICUBIC filter: Keys cubic with a=-0.5, support 2
+    (Pillow Resample.c bicubic_filter)."""
+    a = -0.5
+    x = np.abs(x)
+    return np.where(
+        x < 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1,
+        np.where(x < 2.0, (((x - 5) * x + 8) * x - 4) * a, 0.0),
+    )
+
+
+def pil_bicubic_matrix(n_in: int, n_out: int, n_cols: int | None = None) -> np.ndarray:
+    """(n_out, n_cols or n_in) one-axis interpolation matrix reproducing
+    PIL's antialiased BICUBIC resize coefficient computation (Pillow
+    Resample.c precompute_coeffs): support widened by the downscale factor,
+    window [int(center-support+.5), int(center+support+.5)) clipped to the
+    source, weights normalized over the clipped window. Columns beyond
+    `n_in` (the padded-canvas case) are zero, so a zero-padded source
+    resizes identically to the unpadded one."""
+    if n_cols is None:
+        n_cols = n_in
+    scale = n_in / n_out
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    center = (np.arange(n_out, dtype=np.float64) + 0.5) * scale
+    m = np.zeros((n_out, n_cols), np.float64)
+    for i in range(n_out):
+        xmin = max(int(center[i] - support + 0.5), 0)
+        xmax = min(int(center[i] + support + 0.5), n_in)
+        xs = np.arange(xmin, xmax, dtype=np.float64)
+        w = _pil_bicubic_filter((xs - center[i] + 0.5) / filterscale)
+        s = w.sum()
+        if s != 0.0:
+            w = w / s
+        m[i, xmin:xmax] = w
+    return m.astype(np.float32)
+
+
+def pil_round_u8(x: jax.Array) -> jax.Array:
+    """PIL's per-pass fixed-point store: round-half-up then clamp to
+    [0, 255] (Resample.c clip8 of the accumulated sum + half-ulp)."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+def pil_bicubic_resize_device(
+    x: jax.Array, ry: jax.Array, rx: jax.Array
+) -> jax.Array:
+    """PIL-parity antialiased bicubic via interpolation matrices, on device.
+
+    x: (..., H, W, C) in [0, 255] float; ry: (..., h_out, H); rx:
+    (..., w_out, W). Horizontal pass first, then vertical, with the
+    per-pass uint8 rounding PIL's 8-bit path performs — output matches
+    `PIL.Image.resize(..., BICUBIC)` to within coefficient-quantization
+    rounding (<=1 uint8 level). HIGHEST precision keeps the f32 weighted
+    sums from crossing rounding boundaries on the MXU."""
+    hp = jnp.einsum(
+        "...wj,...hjc->...hwc", rx, x, precision=jax.lax.Precision.HIGHEST
+    )
+    hp = pil_round_u8(hp)
+    vp = jnp.einsum(
+        "...hi,...iwc->...hwc", ry, hp, precision=jax.lax.Precision.HIGHEST
+    )
+    return pil_round_u8(vp)
+
+
 @functools.partial(jax.jit, static_argnames=("multiple",))
 def pad_to_multiple(x: jax.Array, multiple: int = 32) -> jax.Array:
     """Resize (H, W) down/up to the nearest multiple (floor), bilinear.

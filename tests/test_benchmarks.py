@@ -207,6 +207,59 @@ def test_megadepth_pose_batched_matches_serial(mega_scene_dir):
     np.testing.assert_allclose(e_batched, e_serial, atol=1e-6)
 
 
+def test_megadepth_pose_device_resize_matches_batched(mega_scene_dir):
+    """device_resize=True (original-res uint8 canvases + on-device matrix
+    resize) must drive the SAME protocol as the host-resize batched path:
+    identical size scan -> bank idx -> raw stacking -> match_raw plumbing,
+    same RNG order, same errors. Uses an oracle whose warps are
+    content-independent, so any error difference is harness plumbing."""
+    import jax.numpy as jnp
+
+    from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
+    from roma_tpu.config import RomaConfig
+    from roma_tpu.models.matcher import RomaMatcher
+
+    class FastOracle(OracleMatcher):
+        """OracleMatcher wearing the REAL RomaMatcher raw-upload machinery
+        (build_resize_banks / _prep_raw / match_raw are RomaMatcher's own,
+        run at debug resolutions)."""
+
+        host_resize_np = staticmethod(RomaMatcher.host_resize_np)
+        build_resize_banks = RomaMatcher.build_resize_banks
+        match_raw = RomaMatcher.match_raw
+
+        def __init__(self, homs):
+            super().__init__(homs)
+            self.cfg = RomaConfig(
+                coarse_resolution=(56, 56), upsample_resolution=(112, 112)
+            )
+            self._prep_raw = jax.jit(
+                RomaMatcher._prep_raw_impl, static_argnames=("up",)
+            )
+
+        def match_prepped(self, a, b, a2=None, b2=None):
+            assert a2.shape[1:3] == tuple(self.cfg.upsample_resolution)
+            outs = [self.match(None, None) for _ in range(a.shape[0])]
+            return (
+                jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+            )
+
+    homs = [two_plane_homographies(i) for i in range(3)]
+    kw = dict(
+        data_root=str(mega_scene_dir), scene_names=["scene.npz"],
+        num_ransac_runs=2, sample_num=1000, pose_backend="numpy",
+        batch_size=2, workers=2,
+    )
+    e_host = MegaDepthPoseEstimationBenchmark(**kw).collect_errors(
+        FastOracle(homs)
+    )
+    e_dev = MegaDepthPoseEstimationBenchmark(
+        **kw, device_resize=True
+    ).collect_errors(FastOracle(homs))
+    np.testing.assert_allclose(e_dev, e_host, atol=1e-6)
+
+
 def test_megadepth_pose_benchmark_garbage_matcher(mega_scene_dir):
     from roma_tpu.benchmarks.megadepth_pose import MegaDepthPoseEstimationBenchmark
 
@@ -470,3 +523,41 @@ def test_hpatches_corrupted_oracle_fails(hpatches_dir):
     b = HpatchesHomogBenchmark(str(root), sample_num=1500)
     res = b.benchmark(m)
     assert res["hpatches_homog_auc_3"] < 0.75, res
+
+
+def test_scannet_batched_matches_serial(scannet_dir):
+    """batch_size > 1 (shared engine: threaded load + batched match +
+    threaded RANSAC) must reproduce the serial ScanNet protocol exactly:
+    same pair order, same RNG order, same errors."""
+    from roma_tpu.benchmarks.scannet import ScanNetBenchmark
+
+    pairs = [two_plane_homographies(i) for i in range(3)]
+    order = np.random.default_rng(0).permutation(3)
+    kw = dict(
+        data_root=str(scannet_dir), num_ransac_runs=2, sample_num=1500,
+        pose_backend="numpy",
+    )
+    e_serial = ScanNetBenchmark(**kw).collect_errors(
+        OracleMatcher([pairs[j] for j in order], pixel_offset=0.5)
+    )
+    # batch 2 over 3 pairs: exercises the partial final batch
+    e_batched = ScanNetBenchmark(**kw, batch_size=2, workers=2).collect_errors(
+        OracleMatcher([pairs[j] for j in order], pixel_offset=0.5)
+    )
+    np.testing.assert_allclose(e_batched, e_serial, atol=1e-6)
+
+
+def test_hpatches_batched_matches_serial(hpatches_dir):
+    """batch_size > 1 must reproduce the serial HPatches protocol exactly
+    (same sampling keys, same per-pair homography fits)."""
+    from roma_tpu.benchmarks.hpatches import HpatchesHomogBenchmark
+
+    root, Hs = hpatches_dir
+    kw = dict(homography_backend="numpy", sample_num=1500)
+    d_serial = HpatchesHomogBenchmark(str(root), **kw).collect_dists(
+        OracleMatcher([(H, H) for H in Hs], pixel_offset=0.5)
+    )
+    d_batched = HpatchesHomogBenchmark(
+        str(root), **kw, batch_size=2, workers=2
+    ).collect_dists(OracleMatcher([(H, H) for H in Hs], pixel_offset=0.5))
+    np.testing.assert_allclose(d_batched, d_serial, atol=1e-6)

@@ -233,3 +233,66 @@ def test_roma_match_different_input_sizes(debug_matcher, rng):
     hs, ws = debug_matcher.cfg.upsample_resolution
     assert warp.shape == (hs, 2 * ws, 4)
     assert np.isfinite(np.asarray(warp)).all()
+
+
+def test_roma_match_raw_matches_prepped(debug_matcher, rng):
+    """The raw-upload device-resize path (original-res uint8 canvases ->
+    PIL-parity matrix resize on device -> match_prepped) must reproduce the
+    host-PIL-resize fast path: prepped inputs to <=1 uint8 level, match
+    outputs within the same tolerance the f32-vs-PIL prep comparison uses."""
+    from PIL import Image
+
+    ims = [
+        Image.fromarray(rng.uniform(0, 255, hw + (3,)).astype(np.uint8))
+        for hw in [(150, 190), (120, 160), (150, 190), (99, 131)]
+    ]
+    cfg = debug_matcher.cfg
+    hc, wc = cfg.coarse_resolution
+    hu, wu = cfg.upsample_resolution
+
+    sizes = sorted({im.size[::-1] for im in ims})
+    size_idx = {s: i for i, s in enumerate(sizes)}
+    bucket = (max(h for h, _ in sizes), max(w for _, w in sizes))
+    banks = debug_matcher.build_resize_banks(sizes, bucket)
+
+    def canvas(im):
+        c = np.zeros(bucket + (3,), np.uint8)
+        a = np.asarray(im, np.uint8)
+        c[: a.shape[0], : a.shape[1]] = a
+        return c
+
+    # A images stacked over B images (pairs: (0,1), (2,3))
+    raw = jnp.asarray(np.stack([canvas(ims[i]) for i in (0, 2, 1, 3)]))
+    idx = jnp.asarray(
+        [size_idx[ims[i].size[::-1]] for i in (0, 2, 1, 3)], jnp.int32
+    )
+
+    # prepped parity: device resize == host PIL resize to <=1 uint8 level
+    xc, xu = debug_matcher._prep_raw(raw, idx, *banks, up=True)
+    host_c = np.stack(
+        [debug_matcher.host_prep_np(ims[i], hc, wc) for i in (0, 2, 1, 3)]
+    )
+    host_u = np.stack(
+        [debug_matcher.host_prep_np(ims[i], hu, wu) for i in (0, 2, 1, 3)]
+    )
+    lvl = (1.0 / 255.0) / 0.224  # one uint8 level over the smallest std
+    assert np.abs(np.asarray(xc) - host_c).max() <= lvl + 1e-5
+    assert np.abs(np.asarray(xu) - host_u).max() <= lvl + 1e-5
+
+    # end-to-end: match_raw == match_prepped on the host-resized inputs
+    warps_r, certs_r = debug_matcher.match_raw(raw, idx, banks)
+    au = np.stack([debug_matcher.host_resize_np(ims[i], hc, wc) for i in (0, 2)])
+    bu = np.stack([debug_matcher.host_resize_np(ims[i], hc, wc) for i in (1, 3)])
+    au2 = np.stack([debug_matcher.host_resize_np(ims[i], hu, wu) for i in (0, 2)])
+    bu2 = np.stack([debug_matcher.host_resize_np(ims[i], hu, wu) for i in (1, 3)])
+    warps_h, certs_h = debug_matcher.match_prepped(au, bu, au2, bu2)
+    # statistical bound, not allclose: the random-init debug model amplifies
+    # 1-uint8-level input diffs chaotically at a small fraction of pixels (a
+    # control experiment perturbing 0.01% of host pixels by +-1 level gives
+    # the same divergence profile: max ~1.3, q99 ~0.3, mean ~0.01)
+    dw = np.abs(np.asarray(warps_r) - np.asarray(warps_h))
+    dc = np.abs(np.asarray(certs_r) - np.asarray(certs_h))
+    assert warps_r.shape == warps_h.shape
+    assert dw.mean() < 2e-2, dw.mean()
+    assert np.quantile(dw, 0.9) < 5e-2, np.quantile(dw, 0.9)
+    assert dc.mean() < 2e-2, dc.mean()
