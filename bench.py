@@ -71,15 +71,20 @@ def _smooth_flow_params(matcher):
     return jax.device_put(params)
 
 
-def bench_full_roma(batch: int = 8, iters: int = 3, flow: str = "random") -> dict:
+def bench_full_roma(batch: int = 8, iters: int = 3, flow: str = "random",
+                    smooth_mode: str = "fast") -> dict:
     from roma_tpu.models.zoo import roma_outdoor
 
     # the smooth variant also turns on the windowed warp-gather kernel
     # (RomaConfig.smooth_warp_gather): with every flow field smooth, its
     # validity check passes and the scale-1 warps take the windowed path —
-    # the closest available estimate of trained-weight (real-data) behavior
+    # the closest available estimate of trained-weight (real-data) behavior.
+    # smooth_mode: "fast" (unconditional windowed, clamped rough tiles —
+    # the deployment mode and the recorded smooth metric) or "exact"
+    # (proven lax.cond fallback; ~4% slower — see the negative-result note
+    # in windowed_sample.py / PERF.md round 5).
     matcher = roma_outdoor(
-        smooth_warp_gather="fast" if flow == "smooth" else False
+        smooth_warp_gather=smooth_mode if flow == "smooth" else False
     )
     if flow == "smooth":
         matcher.params = _smooth_flow_params(matcher)

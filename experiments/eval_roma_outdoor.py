@@ -38,6 +38,12 @@ def main():
                    choices=["auto", "cv2", "native", "numpy"])
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--shard_count", type=int, default=1)
+    p.add_argument("--batch", type=int, default=1,
+                   help=">1: TPU-first batched schedule (stacked match, "
+                        "prefetch, pooled RANSAC) — protocol-identical")
+    p.add_argument("--device-resize", action="store_true",
+                   help="ship original-res uint8, PIL-parity resize on "
+                        "device (3.5x fewer upload bytes; <=1 uint8 level)")
     args = p.parse_args()
 
     matcher = roma_outdoor(
@@ -57,7 +63,8 @@ def main():
     results = {}
     bench = MegaDepthPoseEstimationBenchmark(
         data_root=args.data_root, shard=(args.shard_index, args.shard_count),
-        pose_backend=args.pose_backend,
+        pose_backend=args.pose_backend, batch_size=args.batch,
+        device_resize=args.device_resize,
     )
     results.update(bench.benchmark(matcher, model_name="roma_outdoor"))
     if args.mega8:
@@ -66,7 +73,8 @@ def main():
         bench8 = MegaDepthPoseEstimationBenchmark(
             data_root=args.data_root, scene_names=MEGA8_SCENES,
             shard=(args.shard_index, args.shard_count),
-            pose_backend=args.pose_backend,
+            pose_backend=args.pose_backend, batch_size=args.batch,
+            device_resize=args.device_resize,
         )
         results["mega8"] = bench8.benchmark(matcher, model_name="roma_outdoor")
     if args.dense:

@@ -193,21 +193,21 @@ def _plan(feat, grid, valid_hw=None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "valid_hw"))
-def _windowed_path(feat, grid, interpret=False, valid_hw=None):
-    """The fast path (assumes validity; wrapper guards). feat (B,H,W,C),
-    grid (B, Ho, Wo, 2) -> (B, Ho, Wo, C)."""
-    B, H, W, C = feat.shape
-    Ho, Wo = grid.shape[1:3]
-    n_ty, n_tx = Ho // _TH, Wo // _TW
+def _layout_padded(feat: jax.Array, Wp: int) -> jax.Array:
+    """Zero-pad the source into the kernel frame and block it — hoistable
+    OUT of the exact-mode cond (it is flow-independent, ~one relayout copy),
+    so the cond's true branch carries only the kernel itself."""
     PAD = 2
-    tile, y0r, e, wx, wy, Wp, _ok = _plan(feat, grid, valid_hw)
-
     PADX = 128
     featp = jnp.pad(feat, ((0, 0), (PAD, PAD + 3 * 8), (PADX, 0), (0, 0)))
     featp = jnp.pad(featp, ((0, 0), (0, 0), (0, Wp - featp.shape[2]), (0, 0)))
-    L = _block_layout(featp)
+    return _block_layout(featp)
 
+
+def _kernel_call(L, tile, y0r, e, wx, wy, *, C, dtype, interpret):
+    """The pallas_call on a precomputed plan + blocked layout."""
+    B, Ho, Wo = y0r.shape
+    n_ty, n_tx = Ho // _TH, Wo // _TW
     out = pl.pallas_call(
         functools.partial(_kernel, C=C, n_tx=n_tx),
         grid=(B, n_ty, n_tx),
@@ -228,14 +228,26 @@ def _windowed_path(feat, grid, interpret=False, valid_hw=None):
             (None, C, _TH, _TW), lambda b, i, j: (b, 0, i, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, Ho, Wo), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, Ho, Wo), dtype),
         scratch_shapes=[
-            pltpu.VMEM((_NYB, _NXB, C, 8, 128), feat.dtype),
+            pltpu.VMEM((_NYB, _NXB, C, 8, 128), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(tile, y0r, e, wx, wy, L)
     return out.transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "valid_hw"))
+def _windowed_path(feat, grid, interpret=False, valid_hw=None):
+    """The fast path (assumes validity; wrapper guards). feat (B,H,W,C),
+    grid (B, Ho, Wo, 2) -> (B, Ho, Wo, C)."""
+    C = feat.shape[3]
+    tile, y0r, e, wx, wy, Wp, _ok = _plan(feat, grid, valid_hw)
+    L = _layout_padded(feat, Wp)
+    return _kernel_call(
+        L, tile, y0r, e, wx, wy, C=C, dtype=feat.dtype, interpret=interpret
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("valid_hw",))
@@ -309,6 +321,15 @@ def grid_sample_smooth(
         if with_ok:
             return out, smoothness_ok(feat, gp, valid_hw=vhw)
         return out
+    # exact mode: validity outside (temps die after the reduction), the
+    # full plan + relayout recomputed INSIDE the true branch. A round-5
+    # restructure tried the "obvious" fix — one plan serving validity AND
+    # the kernel, with the pad+block relayout hoisted out of the cond — and
+    # it was strictly WORSE: ~560 MB of plan/layout tensors live ACROSS the
+    # cond OOM'd the batch-8 bench graph (16.04/15.75 GB) and the batch-4
+    # smooth bench dropped 4.03 -> 3.92 pairs/s. The cond's cost is not the
+    # duplicated plan; keep the memory-lean shape and treat "fast" as the
+    # trained-weight deployment mode (PERF.md round 5).
     ok = smoothness_ok(feat, gp, valid_hw=vhw)
     out = jax.lax.cond(
         ok,
