@@ -227,6 +227,9 @@ def test_megadepth_pose_device_resize_matches_batched(mega_scene_dir):
         host_resize_np = staticmethod(RomaMatcher.host_resize_np)
         build_resize_banks = RomaMatcher.build_resize_banks
         match_raw = RomaMatcher.match_raw
+        # real vmapped sampling -> the engine's batched-sample path (shared
+        # pooled fetch via _LazySparse) executes in CI, not only on TPU
+        sample_batched = RomaMatcher.sample_batched
 
         def __init__(self, homs):
             super().__init__(homs)
