@@ -150,6 +150,12 @@ def main():
         help="skip the distributed ba_step timing sweep",
     )
     ap.add_argument(
+        "--iters-per-launch", type=int, default=None,
+        help="split the device LM scan into launches of at most N "
+             "iterations (bit-identical; for runtimes that kill long "
+             "single executions)",
+    )
+    ap.add_argument(
         "--obs-per-cam", type=int, default=None,
         help="cap observations per camera (keeps the 1k-cam world at ~1M "
              "obs instead of full-visibility tens of millions)",
@@ -198,6 +204,7 @@ def main():
         refined, cost = bundle_adjust_device(
             dd_problem, iters=args.ba_iters, huber_delta=3.0, max_err_px=20.0,
             mesh=mesh, solver=args.solver,
+            iters_per_launch=args.iters_per_launch,
         )
     else:
         refined, cost = bundle_adjust(

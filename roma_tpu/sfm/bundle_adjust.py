@@ -740,6 +740,7 @@ def bundle_adjust_device(
     refilter_every: int = 10,
     mesh=None,
     solver: str = "dense",
+    iters_per_launch: int | None = None,
 ):
     """Fully device-resident LM: the WHOLE optimization (linearize -> dense
     f64-solved Schur step -> accept/reject -> periodic outlier refilter) is
@@ -761,6 +762,12 @@ def bundle_adjust_device(
     (matrix-free block-Jacobi(S)-preconditioned CG with f64 iterative
     refinement — O(n_obs) memory, the at-scale path; `bundle_adjust_cg_device`
     is this with solver="cg").
+
+    `iters_per_launch`: split the LM scan into device launches of at most
+    this many iterations (full carry — problem, lambda, cost, warm-start
+    delta — handed through the host between launches; bit-identical math,
+    one shared executable). Use on runtimes that kill long single
+    executions (a 60-iter 1k-cam scan is one ~15-min launch).
 
     Returns (optimized problem, final robust cost in px^2)."""
     import functools as _ft
@@ -784,10 +791,10 @@ def bundle_adjust_device(
         jax.jit, static_argnames=("iters", "huber_delta", "fix_first_cam",
                                   "refilter_every", "gate_px")
     )
-    def run(p, full_mask, iters, huber_delta, fix_first_cam, refilter_every,
-            gate_px):
-        cost0 = _ba_cost(p, huber_delta)
-
+    def run(carry, full_mask, start, iters, huber_delta, fix_first_cam,
+            refilter_every, gate_px):
+        # `start` is TRACED (the global iteration offset for the refilter
+        # cadence) so chunked launches share one compiled executable
         def body(carry, it):
             p, lam, cost, dc_prev = carry
             if gate_px is not None:
@@ -809,12 +816,10 @@ def bundle_adjust_device(
             )
             return (p, lam, cost, dc), cost
 
-        dc0 = jnp.zeros_like(p.cameras)
-        (p, _, cost, _), _hist = jax.lax.scan(
-            body, (p, jnp.float32(lam0), cost0, dc0),
-            jnp.arange(iters, dtype=jnp.int32),
+        carry, _hist = jax.lax.scan(
+            body, carry, start + jnp.arange(iters, dtype=jnp.int32),
         )
-        return p, cost
+        return carry
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -838,10 +843,33 @@ def bundle_adjust_device(
     # degrade the f32 Cholesky factor below what the f64 iterative
     # refinement can recover from (cond * eps_bf16 > 1)
     with jax.enable_x64(True), jax.default_matmul_precision("highest"):
-        p, cost = run(
-            p0, full_mask, iters, huber_delta, fix_first_cam,
-            refilter_every, max_err_px,
+        cost0 = jax.jit(_ba_cost, static_argnames=("huber_delta",))(
+            p0, huber_delta
         )
+        carry = (p0, jnp.float32(lam0), cost0, jnp.zeros_like(p0.cameras))
+        # bounded single-launch length: one lax.scan over all iters is a
+        # single ~15 s/iter device execution at 1k-cam scale — long enough
+        # to trip runtime watchdogs on tunneled workers (observed twice at
+        # 60 iters). Chunking hands the FULL carry (problem, lambda, cost,
+        # warm-start delta) back through the host between launches:
+        # bit-identical math, same compile (one jit keyed on chunk size +
+        # one for the remainder), and each launch stays a few minutes.
+        chunk = iters_per_launch or iters
+        start = 0
+        while start < iters:
+            k = min(chunk, iters - start)
+            carry = run(
+                carry, full_mask, jnp.int32(start), k, huber_delta,
+                fix_first_cam, refilter_every, max_err_px,
+            )
+            if iters_per_launch is not None:
+                # readback barrier: launches dispatch asynchronously, so
+                # without this the device still queues the whole run
+                # back-to-back (block_until_ready returns early on the
+                # tunneled runtime; a scalar fetch is the reliable sync)
+                float(carry[2])
+            start += k
+        p, _, cost, _ = carry
     return p, float(cost)
 
 

@@ -393,3 +393,35 @@ def test_ba_device_driver_sharded_matches_replicated():
     _, cost1 = bundle_adjust_device(prob, iters=8)
     _, cost8 = bundle_adjust_device(prob, iters=8, mesh=make_mesh(n_data=8))
     np.testing.assert_allclose(cost1, cost8, rtol=1e-3)
+
+
+def test_ba_device_chunked_launches_match_single():
+    """iters_per_launch (bounded device launches with full carry hand-off)
+    is bit-identical to the single-scan run — including across a refilter
+    boundary (the traced global-iteration offset keeps the cadence)."""
+    from roma_tpu.sfm.bundle_adjust import bundle_adjust_device
+
+    w = make_world(noise_px=0.5)
+    cams_gt = cams_to_param(w["cams"])
+    rng = np.random.default_rng(5)
+    cams0 = cams_gt + rng.normal(0, 0.01, cams_gt.shape).astype(np.float32)
+    cams0[0] = cams_gt[0]
+    X0 = w["X"].astype(np.float32) + rng.normal(0, 0.05, w["X"].shape).astype(
+        np.float32
+    )
+    prob = BAProblem(
+        cameras=jnp.asarray(cams0),
+        points=jnp.asarray(X0),
+        intrinsics=jnp.asarray(np.tile(w["K"], (len(cams0), 1, 1))),
+        cam_idx=jnp.asarray(w["cam_idx"]),
+        pt_idx=jnp.asarray(w["pt_idx"]),
+        uv=jnp.asarray(w["uv"]),
+        mask=jnp.ones(len(w["uv"]), jnp.float32),
+    )
+    kw = dict(iters=9, solver="cg", max_err_px=20.0, refilter_every=4)
+    out1, cost1 = bundle_adjust_device(prob, **kw)
+    out2, cost2 = bundle_adjust_device(prob, **kw, iters_per_launch=4)
+    np.testing.assert_allclose(cost2, cost1, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2.cameras), np.asarray(out1.cameras), atol=1e-6
+    )
