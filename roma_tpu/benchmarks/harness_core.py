@@ -132,6 +132,8 @@ def run_batched_eval(
     per-pair match/sample inside each batch — image loading and estimation
     still overlap.
     """
+    if not items:  # empty shard: nothing to schedule
+        return []
     B = batch_size
     key = sample_key if sample_key is not None else jax.random.PRNGKey(0)
     all_subs = _chained_subkeys(key, len(items))
